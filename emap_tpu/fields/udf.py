@@ -1,0 +1,216 @@
+"""UDF field: an 8x256 MLP over positional-encoded points, as pure functions
+on a parameter pytree.
+
+Functional re-design of the reference UDFNetwork (src/models/udf_model.py:7-135):
+
+* geometric (SAL-style) initialization — last layer ~N(sqrt(pi)/sqrt(d), 1e-4)
+  with bias -`bias`; PE-frequency input columns zeroed at the first and skip
+  layers (udf_model.py:47-71),
+* weight normalization kept as explicit (g, v) parameters with
+  w = g * v / ||v||_row computed in the forward pass, so Adam sees the same
+  parameterization as torch's weight_norm (udf_model.py:73-74) and released
+  `.pth` checkpoints (parametrizations.weight.original0/1) map 1:1,
+* Softplus(beta=100) activations, skip concat at layer 4 scaled by 1/sqrt(2),
+  `abs`/`square`/`sdf` output head (udf_model.py:78-110),
+* spatial gradients via a single batched reverse pass (grad of sum) instead of
+  torch.autograd.grad with create_graph (udf_model.py:121-135) — outputs are
+  per-point exact because each output depends only on its own input, and the
+  outer loss gradient double-backprops through it under jax.grad.
+
+TPU notes: all math is (N, 256) x (256, 256) matmuls — MXU-shaped; the PE and
+softplus fuse into the matmul producers under XLA.  Matmul precision defaults
+to HIGHEST because UDF values at the 0.02 threshold need full f32 mantissas.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emap_tpu.fields.embedder import pe_dim, positional_encoding
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class UDFConfig:
+    d_in: int = 3
+    d_out: int = 1
+    d_hidden: int = 256
+    n_layers: int = 8
+    skip_in: tuple = (4,)
+    multires: int = 10
+    bias: float = 0.5
+    scale: float = 1.0
+    geometric_init: bool = True
+    weight_norm: bool = True
+    udf_type: str = "abs"
+    # jax-side extras (not in the reference config surface)
+    precision: str = "highest"  # matmul precision for field queries
+
+    @classmethod
+    def from_conf(cls, conf) -> "UDFConfig":
+        return cls(
+            d_in=conf.get_int("d_in", 3),
+            d_out=conf.get_int("d_out", 1),
+            d_hidden=conf.get_int("d_hidden", 256),
+            n_layers=conf.get_int("n_layers", 8),
+            skip_in=tuple(conf.get_list("skip_in", [4])),
+            multires=conf.get_int("multires", 0),
+            bias=conf.get_float("bias", 0.5),
+            scale=conf.get_float("scale", 1.0),
+            geometric_init=conf.get_bool("geometric_init", True),
+            weight_norm=conf.get_bool("weight_norm", True),
+            udf_type=conf.get_string("udf_type", "abs"),
+        )
+
+    @property
+    def dims(self) -> tuple:
+        d0 = pe_dim(self.multires, self.d_in) if self.multires > 0 else self.d_in
+        return (d0,) + (self.d_hidden,) * self.n_layers + (self.d_out,)
+
+    def layer_shapes(self):
+        """Yield (layer_index, in_dim, out_dim) honoring skip shrinkage."""
+        dims = self.dims
+        for l in range(len(dims) - 1):
+            out_dim = dims[l + 1]
+            if (l + 1) in self.skip_in:
+                out_dim -= dims[0]
+            yield l, dims[l], out_dim
+
+
+def init_udf_params(key: jax.Array, cfg: UDFConfig) -> Params:
+    """Geometric initialization (reference udf_model.py:47-71)."""
+    dims = cfg.dims
+    d0 = dims[0]
+    n_linear = len(dims) - 1
+    params: Params = {}
+    keys = jax.random.split(key, n_linear)
+    for (l, in_dim, out_dim), k in zip(cfg.layer_shapes(), keys):
+        if cfg.geometric_init:
+            if l == n_linear - 1:  # last layer
+                w = jnp.sqrt(jnp.pi) / jnp.sqrt(in_dim) + 1e-4 * jax.random.normal(
+                    k, (out_dim, in_dim)
+                )
+                b = jnp.full((out_dim,), -cfg.bias)
+            elif cfg.multires > 0 and l == 0:
+                w3 = jax.random.normal(k, (out_dim, 3)) * (
+                    jnp.sqrt(2.0) / jnp.sqrt(out_dim)
+                )
+                w = jnp.concatenate(
+                    [w3, jnp.zeros((out_dim, in_dim - 3))], axis=1
+                )
+                b = jnp.zeros((out_dim,))
+            elif cfg.multires > 0 and l in cfg.skip_in:
+                w = jax.random.normal(k, (out_dim, in_dim)) * (
+                    jnp.sqrt(2.0) / jnp.sqrt(out_dim)
+                )
+                # zero the PE-frequency part of the concatenated skip input
+                w = w.at[:, -(d0 - 3) :].set(0.0)
+                b = jnp.zeros((out_dim,))
+            else:
+                w = jax.random.normal(k, (out_dim, in_dim)) * (
+                    jnp.sqrt(2.0) / jnp.sqrt(out_dim)
+                )
+                b = jnp.zeros((out_dim,))
+        else:
+            # torch nn.Linear default init (kaiming-uniform)
+            bound = 1.0 / np.sqrt(in_dim)
+            kw, kb = jax.random.split(k)
+            w = jax.random.uniform(
+                kw, (out_dim, in_dim), minval=-np.sqrt(6.0 / in_dim) / np.sqrt(2.0),
+                maxval=np.sqrt(6.0 / in_dim) / np.sqrt(2.0),
+            )
+            b = jax.random.uniform(kb, (out_dim,), minval=-bound, maxval=bound)
+
+        layer: Params = {"b": b.astype(jnp.float32)}
+        if cfg.weight_norm:
+            g = jnp.linalg.norm(w, axis=1)  # per-row norm, torch weight_norm dim=0
+            layer["g"] = g.astype(jnp.float32)
+            layer["v"] = w.astype(jnp.float32)
+        else:
+            layer["w"] = w.astype(jnp.float32)
+        params[f"lin{l}"] = layer
+    return params
+
+
+def _effective_weight(layer: Params) -> jnp.ndarray:
+    if "g" in layer:
+        v = layer["v"]
+        vn = jnp.linalg.norm(v, axis=1, keepdims=True)
+        return layer["g"][:, None] * v / vn
+    return layer["w"]
+
+
+def _softplus100(x: jnp.ndarray) -> jnp.ndarray:
+    # Softplus with beta=100 (reference udf_model.py:78), numerically stable.
+    return jax.nn.softplus(x * 100.0) / 100.0
+
+
+def _udf_head(x: jnp.ndarray, udf_type: str) -> jnp.ndarray:
+    if udf_type == "abs":
+        return jnp.abs(x)
+    if udf_type == "square":
+        return x**2
+    if udf_type == "sdf":
+        return x
+    raise ValueError(f"unknown udf_type {udf_type!r}")
+
+
+def apply_udf(
+    params: Params, pts: jnp.ndarray, cfg: UDFConfig
+) -> jnp.ndarray:
+    """pts: (..., 3) -> (..., d_out) where channel 0 is the UDF value.
+
+    Mirrors UDFNetwork.forward (reference udf_model.py:90-110).
+    """
+    prec = jax.lax.Precision(cfg.precision)
+    inputs = pts * cfg.scale
+    if cfg.multires > 0:
+        inputs = positional_encoding(inputs, cfg.multires)
+    x = inputs
+    n_linear = len(cfg.dims) - 1
+    for l in range(n_linear):
+        if l in cfg.skip_in:
+            x = jnp.concatenate([x, inputs], axis=-1) / jnp.sqrt(2.0).astype(
+                x.dtype
+            )
+        layer = params[f"lin{l}"]
+        w = _effective_weight(layer)
+        x = (
+            jnp.dot(x, w.T, precision=prec)
+            + layer["b"]
+        )
+        if l < n_linear - 1:
+            x = _softplus100(x)
+    head = _udf_head(x[..., :1], cfg.udf_type) / cfg.scale
+    return jnp.concatenate([head, x[..., 1:]], axis=-1)
+
+
+def udf_value(params: Params, pts: jnp.ndarray, cfg: UDFConfig) -> jnp.ndarray:
+    """pts: (..., 3) -> (...,) UDF values."""
+    return apply_udf(params, pts, cfg)[..., 0]
+
+
+def udf_gradient(params: Params, pts: jnp.ndarray, cfg: UDFConfig) -> jnp.ndarray:
+    """Per-point spatial gradient d udf / d pts, shape (..., 3).
+
+    Single batched reverse pass via grad-of-sum (outputs are independent per
+    point), replacing torch.autograd.grad(create_graph=True)
+    (reference udf_model.py:121-135). jax.grad differentiates through this for
+    the eikonal term's double backprop.
+    """
+    return jax.grad(lambda p: udf_value(params, p, cfg).sum())(pts)
+
+
+def udf_value_and_gradient(
+    params: Params, pts: jnp.ndarray, cfg: UDFConfig
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused value+gradient: one forward, one reverse."""
+    vals, vjp_fn = jax.vjp(lambda p: udf_value(params, p, cfg), pts)
+    (grads,) = vjp_fn(jnp.ones_like(vals))
+    return vals, grads
