@@ -1,0 +1,162 @@
+"""Synthetic scene generator for tests and benchmarks.
+
+The reference datasets live on Google Drive (scripts/download_data.py) and are
+unreachable here (zero egress), so the test pyramid trains on an analytic
+scene: the wireframe of an axis-aligned cube, rendered into 2D edge maps from
+cameras on a sphere. Ground-truth edge points are known analytically, so the
+full pipeline (train -> extract -> eval) can be validated end to end.
+
+Output layout matches the reference data format exactly
+(meta_data.json + edge_DexiNed/ + color/, reference dataset.py:66-135), so the
+production loader is what gets tested.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+def cube_edges(half: float = 0.5) -> np.ndarray:
+    """12 wireframe segments of the cube [-half, half]^3, shape (12, 2, 3)."""
+    h = half
+    corners = np.array(
+        [[x, y, z] for x in (-h, h) for y in (-h, h) for z in (-h, h)],
+        dtype=np.float64,
+    )
+    pairs = []
+    for i in range(8):
+        for j in range(i + 1, 8):
+            if np.sum(np.abs(corners[i] - corners[j]) > 1e-9) == 1:
+                pairs.append((i, j))
+    assert len(pairs) == 12
+    return np.stack([np.stack([corners[i], corners[j]]) for i, j in pairs])
+
+
+def sample_cube_edge_points(half: float = 0.5, spacing: float = 0.005):
+    """Densely sampled GT points along the wireframe (for eval tests)."""
+    pts = []
+    for seg in cube_edges(half):
+        length = np.linalg.norm(seg[1] - seg[0])
+        n = max(int(length / spacing), 2)
+        t = np.linspace(0, 1, n)[:, None]
+        pts.append(seg[0] * (1 - t) + seg[1] * t)
+    return np.concatenate(pts).astype(np.float32)
+
+
+def _look_at(eye: np.ndarray, target: np.ndarray) -> np.ndarray:
+    """Camera-to-world pose, OpenCV convention (z forward, y down)."""
+    forward = target - eye
+    forward /= np.linalg.norm(forward)
+    tmp = np.array([0.0, 0.0, 1.0])
+    if abs(forward @ tmp) > 0.98:
+        tmp = np.array([0.0, 1.0, 0.0])
+    right = np.cross(forward, tmp)
+    right /= np.linalg.norm(right)
+    down = np.cross(forward, right)
+    pose = np.eye(4)
+    pose[:3, 0] = right
+    pose[:3, 1] = down
+    pose[:3, 2] = forward
+    pose[:3, 3] = eye
+    return pose
+
+
+def make_synthetic_scene(
+    out_dir: str,
+    scan: str = "cube000",
+    n_views: int = 24,
+    H: int = 96,
+    W: int = 96,
+    cam_radius: float = 2.2,
+    near: float = 0.05,
+    far: float = 4.5,
+    detector: str = "DexiNed",
+    line_px: int = 1,
+    seed: int = 0,
+) -> str:
+    """Write a synthetic cube-wireframe scan under out_dir/<scan>/.
+
+    Returns the scan directory. Edge maps are white (=edge) on black,
+    matching the training-time convention of the ABC-NEF DexiNed maps.
+    """
+    scan_dir = os.path.join(out_dir, scan)
+    edge_subdir = "edge_PidiNet" if detector == "PidiNet" else "edge_DexiNed"
+    os.makedirs(os.path.join(scan_dir, edge_subdir), exist_ok=True)
+    os.makedirs(os.path.join(scan_dir, "color"), exist_ok=True)
+
+    focal = 1.4 * max(H, W)
+    K = np.array(
+        [
+            [focal, 0, W / 2.0, 0],
+            [0, focal, H / 2.0, 0],
+            [0, 0, 1, 0],
+            [0, 0, 0, 1],
+        ]
+    )
+
+    rng = np.random.default_rng(seed)
+    segments = cube_edges(0.5)
+
+    frames = []
+    # golden-spiral view distribution over the full sphere
+    golden = np.pi * (3.0 - np.sqrt(5.0))
+    for i in range(n_views):
+        z = 1.0 - 2.0 * (i + 0.5) / n_views
+        r = np.sqrt(max(1.0 - z * z, 1e-9))
+        theta = golden * i
+        eye = cam_radius * np.array([r * np.cos(theta), r * np.sin(theta), z])
+        pose = _look_at(eye, np.zeros(3))
+
+        worldtocam = np.linalg.inv(pose)
+        img = np.zeros((H, W), dtype=np.uint8)
+        for seg in segments:
+            # project with fine sampling to honor perspective + clipping
+            t = np.linspace(0, 1, 64)[:, None]
+            pts3 = seg[0] * (1 - t) + seg[1] * t  # (64, 3)
+            cam = (worldtocam[:3, :3] @ pts3.T + worldtocam[:3, 3:]).T
+            valid = cam[:, 2] > 1e-6
+            uv = (K[:3, :3] @ cam.T).T
+            uv = uv[:, :2] / uv[:, 2:3]
+            uv_int = np.round(uv).astype(np.int32)
+            for a, b, va, vb in zip(uv_int[:-1], uv_int[1:], valid[:-1], valid[1:]):
+                if va and vb:
+                    cv2.line(
+                        img, tuple(a), tuple(b), 255, line_px, lineType=cv2.LINE_AA
+                    )
+
+        name = f"{i:03d}.png"
+        cv2.imwrite(os.path.join(scan_dir, edge_subdir, name), img)
+        color = np.stack([img] * 3, axis=-1)
+        cv2.imwrite(os.path.join(scan_dir, "color", name), color)
+
+        frames.append(
+            {
+                "intrinsics": K.tolist(),
+                "camtoworld": pose.tolist(),
+                "rgb_path": name,
+            }
+        )
+
+    meta = {
+        "height": H,
+        "width": W,
+        "scene_box": {
+            "near": near,
+            "far": far,
+            "radius": 1.0,
+            "aabb": [[-1, -1, -1], [1, 1, 1]],
+        },
+        "worldtogt": np.eye(4).tolist(),
+        "frames": frames,
+    }
+    with open(os.path.join(scan_dir, "meta_data.json"), "w") as f:
+        json.dump(meta, f)
+    return scan_dir

@@ -1,0 +1,321 @@
+"""Unbiased two-sided UDF volume renderer as a pure function.
+
+Functional re-design of UDFRendererBlending.render/render_core
+(reference src/models/udf_renderer_blending.py:112-841). One call renders a
+batch of rays end to end:
+
+  stratified base samples -> 5-round importance up-sampling (stop-gradient)
+  -> field query + spatial gradients at the 114 mid-points
+  -> occlusion/visibility cumprod -> two-sided alpha blend -> weights
+  -> edge/depth/normal integration + eikonal terms.
+
+Everything is static-shape and jit-compatible; the renderer itself is
+differentiated by jax.grad in the train step (double backprop through the
+spatial gradient happens automatically).
+
+Deviations from the reference (deliberate):
+* n_outside > 0 (NeRF++ background) is not supported: the reference path is
+  dead in every shipped conf and crashes if enabled (undefined
+  `sampled_edge_pixel`, reference :582-591). We raise a clear error instead.
+* The NaN pdb tripwires (:102-107, :346-351, :632-633) are replaced by the
+  checkify-able finite-ness helpers in emap_tpu.utils.guards.
+* `sparse_error` is returned (the reference computes it at :641-644 but drops
+  it in `render`); it is not used by any loss, matching reference training.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from emap_tpu.fields.scalars import beta_gamma_zeta, inv_s_value
+from emap_tpu.fields.udf import UDFConfig, udf_value, udf_value_and_gradient
+from emap_tpu.render import sampling
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    n_samples: int = 64
+    n_importance: int = 50
+    n_outside: int = 0
+    up_sample_steps: int = 5
+    perturb: float = 1.0
+    sdf2alpha_type: str = "numerical"
+    upsampling_type: str = "classical"
+    use_unbias_render: bool = True
+    sparse_scale_factor: float = 25000.0
+    use_norm_grad_for_cosine: bool = False
+    near_surface: float = 0.05
+    beta_min: float = 0.00005
+
+    def __post_init__(self):
+        if self.n_outside != 0:
+            raise NotImplementedError(
+                "n_outside > 0 (NeRF++ background) is dead/broken in the "
+                "reference (udf_renderer_blending.py:582-591) and not supported."
+            )
+        if self.sdf2alpha_type != "numerical":
+            raise NotImplementedError(
+                "only sdf2alpha_type='numerical' is implemented (all shipped "
+                "confs use it; 'theorical' is the reference's unused alternative)."
+            )
+
+    @classmethod
+    def from_conf(cls, conf) -> "RenderConfig":
+        return cls(
+            n_samples=conf.get_int("n_samples", 64),
+            n_importance=conf.get_int("n_importance", 50),
+            n_outside=conf.get_int("n_outside", 0),
+            up_sample_steps=conf.get_int("up_sample_steps", 5),
+            perturb=conf.get_float("perturb", 1.0),
+            sdf2alpha_type=conf.get_string("sdf2alpha_type", "numerical"),
+            upsampling_type=conf.get_string("upsampling_type", "classical"),
+            use_unbias_render=conf.get_bool("use_unbias_render", True),
+            sparse_scale_factor=conf.get_float("sparse_scale_factor", 25000.0),
+            use_norm_grad_for_cosine=conf.get_bool(
+                "use_norm_grad_for_cosine", False
+            ),
+            near_surface=conf.get_float("near_surface", 0.05),
+        )
+
+    @property
+    def total_samples(self) -> int:
+        return self.n_samples + self.n_importance
+
+
+def render_core(
+    params,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    sample_dist: float,
+    cfg: RenderConfig,
+    udf_cfg: UDFConfig,
+    cos_anneal_ratio,
+    flip_saturation,
+    background_rgb=None,
+):
+    """The hot op (reference render_core :418-677)."""
+    batch, n = z_vals.shape
+
+    dists = z_vals[:, 1:] - z_vals[:, :-1]
+    dists = jnp.concatenate(
+        [dists, jnp.full((batch, 1), sample_dist, z_vals.dtype)], axis=-1
+    )
+    mid_z_vals = z_vals + dists * 0.5
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * mid_z_vals[..., None]
+    dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
+
+    pts_flat = pts.reshape(-1, 3)
+    udf_flat, gradients_flat = udf_value_and_gradient(
+        params["udf"], pts_flat, udf_cfg
+    )
+    udf = udf_flat.reshape(batch, n)
+    gradients = gradients_flat.reshape(batch, n, 3)
+
+    gradients_mag = jnp.linalg.norm(gradients, axis=-1, keepdims=True)
+    gradients_norm = gradients / (gradients_mag + 1e-5)
+
+    inv_s = jnp.clip(inv_s_value(params["variance"])[0], 1e-6, 1e6)
+    beta, gamma, _ = beta_gamma_zeta(params["beta"], cfg.beta_min)
+    beta = jnp.clip(beta[0], 1e-6, 1e6)
+    gamma = jnp.clip(gamma[0], 1e-6, 1e6)
+
+    if cfg.use_unbias_render:
+        grad_for_cos = (
+            gradients_norm if cfg.use_norm_grad_for_cosine else gradients
+        )
+        true_cos = jnp.sum(dirs * grad_for_cos, axis=-1)  # (B, n)
+
+        cos_sign = jax.lax.stop_gradient(
+            jnp.sum(dirs * gradients_norm, axis=-1)
+        )
+        flip_sign = -jnp.sign(cos_sign)
+        flip_sign = jnp.where(flip_sign == 0, 1.0, flip_sign)
+
+        raw_occ = sampling.udf2logistic(udf, beta, 1.0, 1.0)
+        alpha_occ = 1.0 - jnp.exp(-jax.nn.relu(raw_occ) * gamma * dists)
+
+        vis_mask = (true_cos < 0.01).astype(z_vals.dtype)
+        # shift one sample toward the camera
+        vis_mask = jnp.concatenate(
+            [vis_mask[:, 1:], jnp.ones((batch, 1), z_vals.dtype)], axis=-1
+        )
+
+        vis_prob = jnp.cumprod(
+            jnp.concatenate(
+                [
+                    jnp.ones((batch, 1), z_vals.dtype),
+                    jnp.clip(
+                        1.0 - alpha_occ + flip_saturation * vis_mask, 0.0, 1.0
+                    )
+                    + 1e-7,
+                ],
+                axis=-1,
+            ),
+            axis=-1,
+        )[:, :-1]
+        vis_prob = jnp.clip(vis_prob, 0.0, 1.0)
+
+        neg_abs_cos = -jnp.abs(true_cos)
+        alpha_plus = sampling.sdf2alpha_numerical(
+            udf, neg_abs_cos, dists, inv_s, cos_anneal_ratio
+        )
+        alpha_minus = sampling.sdf2alpha_numerical(
+            -udf, neg_abs_cos, dists, inv_s, cos_anneal_ratio
+        )
+        alpha = alpha_plus * vis_prob + alpha_minus * (1.0 - vis_prob)
+    else:
+        vis_prob = None
+        flip_sign = None
+        raw_occ = sampling.udf2logistic(udf, beta, 1.0, 1.0)
+        alpha = 1.0 - jnp.exp(-jax.nn.relu(raw_occ) * gamma * dists)
+
+    weights = alpha * jnp.cumprod(
+        jnp.concatenate(
+            [jnp.ones((batch, 1), z_vals.dtype), 1.0 - alpha + 1e-7], axis=-1
+        ),
+        axis=-1,
+    )[:, :-1]
+    weights_sum = jnp.sum(weights, axis=-1, keepdims=True)
+
+    # edge "appearance" is constant 1 => rendered edge = sum of weights
+    edge = weights_sum
+    depth = jnp.sum(mid_z_vals * weights, axis=-1, keepdims=True)
+    if background_rgb is not None:
+        edge = edge + background_rgb * (1.0 - weights_sum)
+
+    pts_norm = jnp.linalg.norm(pts, axis=-1)
+    relax_inside_sphere = jax.lax.stop_gradient(
+        (pts_norm < 2.4).astype(z_vals.dtype)
+    )
+    inside_sphere = jax.lax.stop_gradient((pts_norm < 2.0).astype(z_vals.dtype))
+    near_surface = jax.lax.stop_gradient(
+        (udf < cfg.near_surface).astype(z_vals.dtype)
+    )
+
+    gradient_error_pt = (jnp.linalg.norm(gradients, axis=-1) - 1.0) ** 2
+    gradient_error = jnp.sum(relax_inside_sphere * gradient_error_pt) / (
+        jnp.sum(relax_inside_sphere) + 1e-5
+    )
+    gradient_error_near_surface = jnp.sum(near_surface * gradient_error_pt) / (
+        jnp.sum(near_surface) + 1e-5
+    )
+
+    if flip_sign is not None:
+        gradients_flip = flip_sign[..., None] * gradients
+    else:
+        gradients_flip = gradients
+
+    sparse_error = jnp.mean(
+        jnp.sum(jnp.exp(-cfg.sparse_scale_factor * udf), axis=-1)
+    )
+
+    normals = jnp.sum(gradients_flip * weights[..., None], axis=1)
+
+    return {
+        "udf": udf,
+        "edge": edge,
+        "weights": weights,
+        "s_val": 1.0 / inv_s,
+        "beta": 1.0 / beta,
+        "gamma": gamma,
+        "depth": depth,
+        "gradient_error": gradient_error,
+        "gradient_error_near_surface": gradient_error_near_surface,
+        "normals": normals,
+        "gradients": gradients,
+        "gradients_flip": gradients_flip,
+        "inside_sphere": inside_sphere,
+        "gradient_mag": gradients_mag.reshape(batch, n),
+        "alpha": alpha,
+        "mid_z_vals": mid_z_vals,
+        "dists": dists,
+        "sparse_error": sparse_error,
+    }
+
+
+def render(
+    params,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    near: float,
+    far: float,
+    depth_scale: jnp.ndarray,
+    key: jax.Array,
+    cfg: RenderConfig,
+    udf_cfg: UDFConfig,
+    cos_anneal_ratio=1.0,
+    flip_saturation=0.0,
+    perturb_overwrite: float = -1.0,
+    background_rgb=None,
+):
+    """Render a batch of rays (reference render :679-800).
+
+    params: {'udf': ..., 'variance': ..., 'beta': ...} pytrees.
+    depth_scale: (B, 1) camera-z component of the unit ray (dataset-provided).
+    Returns the same output surface as the reference's `render` dict.
+    """
+    batch = rays_o.shape[0]
+    sample_dist = (far - near) / cfg.n_samples
+
+    perturb = cfg.perturb if perturb_overwrite < 0 else perturb_overwrite
+    z_vals = sampling.stratified_z_vals(
+        key, batch, near, far, cfg.n_samples, perturb
+    )
+
+    if cfg.n_importance > 0:
+        if cfg.upsampling_type != "classical":
+            raise NotImplementedError(
+                "only upsampling_type='classical' is implemented (the 'mix' "
+                "strategy is unused by every shipped conf and under-delivers "
+                "samples -- reference :843-918)."
+            )
+        z_vals = sampling.importance_sample(
+            lambda p: udf_value(params["udf"], p, udf_cfg),
+            rays_o,
+            rays_d,
+            z_vals,
+            sample_dist,
+            cfg.n_importance,
+            cfg.up_sample_steps,
+            use_unbias=cfg.use_unbias_render,
+        )
+
+    ret = render_core(
+        params,
+        rays_o,
+        rays_d,
+        z_vals,
+        sample_dist,
+        cfg,
+        udf_cfg,
+        cos_anneal_ratio,
+        flip_saturation,
+        background_rgb=background_rgb,
+    )
+
+    n_total = cfg.total_samples
+    return {
+        "udf": ret["udf"],
+        "edge": ret["edge"],
+        "weight_sum": jnp.sum(ret["weights"][:, :n_total], axis=-1, keepdims=True),
+        "weight_sum_fg_bg": jnp.sum(ret["weights"], axis=-1, keepdims=True),
+        "depth": ret["depth"] * depth_scale,
+        "variance": ret["s_val"],
+        "beta": ret["beta"],
+        "gamma": ret["gamma"],
+        "normals": ret["normals"],
+        "gradients": ret["gradients"],
+        "gradients_flip": ret["gradients_flip"],
+        "weights": ret["weights"],
+        "gradient_error": ret["gradient_error"],
+        "gradient_error_near_surface": ret["gradient_error_near_surface"],
+        "inside_sphere": ret["inside_sphere"],
+        "gradient_mag": ret["gradient_mag"],
+        "mid_z_vals": ret["mid_z_vals"],
+        "dists": ret["dists"],
+        "sparse_error": ret["sparse_error"],
+    }

@@ -9,7 +9,9 @@ The env vars MUST be set before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# HARD override: the shell env pins JAX_PLATFORMS=axon (the TPU tunnel);
+# tests must run on local CPU for determinism and speed.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,7 +20,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 # persistent compilation cache: repeat test runs skip XLA recompilation
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_emap_tpu")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
