@@ -1,0 +1,183 @@
+"""UDF zero-level-set point extraction: dense grid query, gradient normals,
+SVD line directions, and point shifting.
+
+Re-design of the reference extraction (src/edge_extraction/extract_pointcloud.py):
+
+* the N^3 grid UDF query runs as fixed-shape jitted chunks (one compile,
+  N^3/chunk dispatches) -- reference :36-62,
+* near-surface candidates are selected once on host (the only host round
+  trip), then processed in fixed-size padded device batches,
+* line direction per point = null space of the gradients at 50 jittered
+  samples (reference :76-88). The reference takes the last right-singular
+  vector of the (50, 3) gradient matrix; we take the smallest-eigenvalue
+  eigenvector of the 3x3 Gram matrix G^T G -- mathematically the same vector,
+  but a batched 3x3 `eigh` instead of a batched 50x3 SVD (far cheaper and
+  TPU-friendly),
+* point shift x <- x + udf * (-grad/|grad|) for `iters` rounds with
+  re-filtering (reference :271-288).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emap_tpu.fields.udf import (
+    UDFConfig,
+    udf_value,
+    udf_value_and_gradient,
+)
+
+
+def _grid_chunk_points(flat_start: int, chunk: int, N: int) -> jnp.ndarray:
+    """Grid points for flat indices [start, start+chunk) in x-major order
+    (x = idx // N^2, y = (idx // N) % N, z = idx % N), coords in [-1, 1]."""
+    idx = flat_start + jnp.arange(chunk)
+    z = idx % N
+    y = (idx // N) % N
+    x = (idx // (N * N)) % N
+    voxel = 2.0 / (N - 1)
+    pts = jnp.stack([x, y, z], axis=-1).astype(jnp.float32) * voxel - 1.0
+    return pts
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "N", "ucfg"))
+def _grid_udf_chunk(params, flat_start, chunk: int, N: int, ucfg: UDFConfig):
+    pts = _grid_chunk_points(flat_start, chunk, N)
+    return udf_value(params, pts, ucfg)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ucfg", "sampling_n", "with_linedir")
+)
+def _point_batch_features(
+    params, pts, key, ucfg: UDFConfig, sampling_n: int,
+    sampling_delta: float, with_linedir: bool,
+):
+    """udf, normals (-unit grad), and optional line directions for a padded
+    (B, 3) batch of candidate points."""
+    udf, grad = udf_value_and_gradient(params, pts, ucfg)
+    normals = -grad / (jnp.linalg.norm(grad, axis=-1, keepdims=True) + 1e-5)
+
+    if not with_linedir:
+        return udf, normals, jnp.zeros_like(pts)
+
+    jitter = sampling_delta * jax.random.normal(
+        key, (pts.shape[0], sampling_n, 3), dtype=pts.dtype
+    )
+    samples = pts[:, None, :] + jitter
+    g = udf_value_and_gradient(params, samples.reshape(-1, 3), ucfg)[1]
+    g = g.reshape(pts.shape[0], sampling_n, 3)
+    # normalize like the reference's func_grad (gradient / (|gradient|+1e-5))
+    g = g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-5)
+    # null space of the gradient bundle: smallest-eigenvalue eigenvector of
+    # the 3x3 Gram matrix (== last right-singular vector of the (n,3) SVD)
+    gram = jnp.einsum("bni,bnj->bij", g, g)
+    _, vecs = jnp.linalg.eigh(gram)  # ascending eigenvalues
+    line_dir = vecs[:, :, 0]
+    line_dir = line_dir / (jnp.linalg.norm(line_dir, axis=-1, keepdims=True) + 1e-5)
+    return udf, normals, line_dir
+
+
+def _run_point_batches(
+    params, ucfg, pts_np: np.ndarray, key, sampling_n, sampling_delta,
+    with_linedir: bool, batch: int,
+):
+    """Host loop over fixed-size padded device batches."""
+    m = len(pts_np)
+    if m == 0:
+        return (
+            np.zeros((0,), np.float32),
+            np.zeros((0, 3), np.float32),
+            np.zeros((0, 3), np.float32),
+        )
+    n_batches = (m + batch - 1) // batch
+    padded = np.zeros((n_batches * batch, 3), np.float32)
+    padded[:m] = pts_np
+    udf_out, nrm_out, ld_out = [], [], []
+    for b in range(n_batches):
+        kb = jax.random.fold_in(key, b)
+        chunk_pts = jnp.asarray(padded[b * batch : (b + 1) * batch])
+        u, nv, ld = _point_batch_features(
+            params, chunk_pts, kb, ucfg, sampling_n, sampling_delta,
+            with_linedir,
+        )
+        udf_out.append(np.asarray(u))
+        nrm_out.append(np.asarray(nv))
+        ld_out.append(np.asarray(ld))
+    return (
+        np.concatenate(udf_out)[:m],
+        np.concatenate(nrm_out)[:m],
+        np.concatenate(ld_out)[:m],
+    )
+
+
+def extract_pointcloud(
+    params,
+    ucfg: UDFConfig,
+    resolution: int = 128,
+    udf_threshold: float = 0.02,
+    sampling_N: int = 50,
+    sampling_delta: float = 5e-3,
+    is_pointshift: bool = False,
+    iters: int = 1,
+    is_linedirection: bool = False,
+    seed: int = 42,
+    grid_chunk: int = 65536,
+    point_batch: int = 4096,
+):
+    """Edge point cloud from the UDF (reference get_pointcloud_from_udf
+    :212-293). Returns (points (M,3), line_directions (M,3)) numpy arrays.
+    """
+    key = jax.random.key(seed)
+    N = resolution
+    total = N**3
+    chunk = min(grid_chunk, total)
+
+    # --- phase 1: dense UDF over the grid (device, fixed-shape chunks) ---
+    udf_vals = np.empty((total,), np.float32)
+    for start in range(0, total, chunk):
+        vals = _grid_udf_chunk(params, jnp.int32(start), chunk, N, ucfg)
+        n_here = min(chunk, total - start)
+        udf_vals[start : start + n_here] = np.asarray(vals)[:n_here]
+
+    np.clip(udf_vals, 0.0, None, out=udf_vals)
+
+    # --- phase 2: near-surface candidates (single host gather) ---
+    cand_idx = np.nonzero(udf_vals <= udf_threshold)[0]
+    voxel = 2.0 / (N - 1)
+    xyz = np.stack(
+        [
+            (cand_idx // (N * N)) % N,
+            (cand_idx // N) % N,
+            cand_idx % N,
+        ],
+        axis=-1,
+    ).astype(np.float32) * voxel - 1.0
+    df = udf_vals[cand_idx]
+
+    want_dirs_now = is_linedirection and not (is_pointshift and iters > 0)
+    _, normals, line_dirs = _run_point_batches(
+        params, ucfg, xyz, jax.random.fold_in(key, 0), sampling_N,
+        sampling_delta, want_dirs_now, point_batch,
+    )
+
+    # --- phase 3: point shift toward the zero set (reference :271-288) ---
+    if is_pointshift and iters > 0:
+        for it in range(iters):
+            xyz = xyz + df[:, None] * normals
+            last = it == iters - 1
+            df, normals, line_dirs = _run_point_batches(
+                params, ucfg, xyz, jax.random.fold_in(key, it + 1),
+                sampling_N, sampling_delta, is_linedirection and last,
+                point_batch,
+            )
+            keep = df <= udf_threshold
+            xyz, df, normals, line_dirs = (
+                xyz[keep], df[keep], normals[keep], line_dirs[keep],
+            )
+
+    return xyz.astype(np.float32), line_dirs.astype(np.float32)

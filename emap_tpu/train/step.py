@@ -154,8 +154,8 @@ def build_train_step(tcfg: TrainConfig, rcfg: RenderConfig, ucfg: UDFConfig,
                     "gradient_error_near_surface"
                 ],
                 "variance": jnp.mean(out["variance"]),
-                "beta": out["beta"][0],
-                "gamma": out["gamma"][0],
+                "beta": jnp.reshape(out["beta"], ()),
+                "gamma": jnp.reshape(out["gamma"], ()),
                 "udf_min": jnp.mean(jnp.min(out["udf"], axis=-1)),
                 "udf_mean": jnp.mean(out["udf"]),
                 "weight_sum": jnp.mean(out["weight_sum"]),
