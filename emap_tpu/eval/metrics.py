@@ -119,29 +119,9 @@ def downsample_point_cloud_average(
 # Bezier arc length (Simpson) + primitive sampling
 # ---------------------------------------------------------------------------
 
-def bezier_curve_length(control_points: np.ndarray, num_samples: int = 100):
-    """Arc length of a cubic Bezier by composite Simpson over the derivative
-    norm (reference :90-135, same sample counts)."""
-    ctl = np.asarray(control_points, np.float64).reshape(4, 3)
-    deltas = 3.0 * (ctl[1:] - ctl[:-1])  # derivative control points (3, 3)
-
-    def speed(t):
-        b = np.array([(1 - t) ** 2, 2 * (1 - t) * t, t**2])
-        return np.linalg.norm(b @ deltas)
-
-    length = 0.0
-    for i in range(num_samples):
-        t0, t1 = i / num_samples, (i + 1) / num_samples
-        h = (t1 - t0) / num_samples
-        s = speed(t0) + speed(t1)
-        s += 4 * sum(
-            speed(t0 + k * h) for k in range(1, num_samples, 2)
-        )
-        s += 2 * sum(
-            speed(t0 + k * h) for k in range(2, num_samples - 1, 2)
-        )
-        length += s * h / 3
-    return length
+# re-exported from extract.fitting (it is a geometry primitive used by both
+# the extraction orchestrator and the eval protocol)
+bezier_curve_length = _fitting.bezier_curve_length
 
 
 def get_pred_points_and_directions(

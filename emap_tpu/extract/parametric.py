@@ -22,9 +22,8 @@ except ImportError:  # pragma: no cover
     cv2 = None
 
 from emap_tpu.data.dataset import edge_map_path, load_meta
-from emap_tpu.extract.fitting import bezier_points, edge_fit
+from emap_tpu.extract.fitting import bezier_curve_length, bezier_points, edge_fit
 from emap_tpu.extract.merging import merge
-from emap_tpu.eval.metrics import bezier_curve_length
 
 # fixed fitting/merging hyperparameters (reference :229-237)
 NMS_FACTOR = 0.95

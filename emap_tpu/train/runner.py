@@ -1,0 +1,474 @@
+"""Training/extraction orchestration: the L4 layer.
+
+Functional re-design of the reference Runner/Runner_UDF
+(src/runner/runner_base.py:18-213, src/runner/runner_udf.py:20-587). The
+public surface matches upstream -- Runner(conf, mode, is_continue) with
+.train() / .extract_edge(**kw) / .validate() -- but the loop body is one jitted
+XLA program per step and metrics are fetched from device only at logging
+frequency (the reference syncs `.item()` every iteration).
+
+Checkpointing: native .npz via emap_tpu.ckpt.native, with the reference's
+policy -- save only when the 500-step rolling edge-loss average improves,
+single ckpt_best file (runner_udf.py:239-285). Released torch `.pth`
+checkpoints load through emap_tpu.ckpt.pth_import.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shutil
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from emap_tpu.ckpt.native import load_pytree, save_pytree
+from emap_tpu.ckpt.pth_import import import_reference_checkpoint
+from emap_tpu.data.dataset import (
+    RayPool,
+    edge_at,
+    gen_rays_at,
+    load_scene,
+)
+from emap_tpu.extract.parametric import get_parametric_edge
+from emap_tpu.extract.pointcloud import extract_pointcloud
+from emap_tpu.fields.udf import UDFConfig
+from emap_tpu.render.renderer import RenderConfig, render
+from emap_tpu.train import schedules
+from emap_tpu.train.optim import adam_init
+from emap_tpu.train.state import TrainState, init_train_state
+from emap_tpu.train.step import TrainConfig, build_train_step
+from emap_tpu.utils.vis import visualize_depth
+
+logger = logging.getLogger(__name__)
+
+
+class Runner:
+    """UDF edge-field trainer (the reference's Runner_UDF equivalent)."""
+
+    def __init__(self, conf, mode: str = "train", is_continue: bool = False,
+                 mesh=None):
+        self.conf = conf
+        self.mode = mode
+        self.is_continue = is_continue
+        self.mesh = mesh
+
+        self.base_exp_dir = os.path.join(
+            conf["general.base_exp_dir"],
+            str(conf["dataset.scan"]),
+            conf["general.expname"],
+        )
+        os.makedirs(self.base_exp_dir, exist_ok=True)
+
+        self.scene = load_scene(conf.get_config("dataset"))
+        self.near, self.far = self.scene.near, self.scene.far
+
+        self.model_type = conf.get_string("general.model_type", "udf")
+        self.ucfg = UDFConfig.from_conf(conf.get_config("model.udf_network"))
+        self.rcfg = RenderConfig.from_conf(conf.get_config("model.udf_renderer"))
+        self.tcfg = TrainConfig.from_conf(conf, self.near, self.far)
+
+        self.end_iter = conf.get_int("train.end_iter")
+        self.save_freq = conf.get_int("train.save_freq")
+        self.report_freq = conf.get_int("train.report_freq")
+        self.val_freq = conf.get_int("train.val_freq")
+        self.batch_size = conf.get_int("train.batch_size")
+        self.validate_resolution_level = conf.get_int(
+            "train.validate_resolution_level"
+        )
+        self.use_white_bkgd = conf.get_bool("train.use_white_bkgd")
+        self.latest_model_name = conf.get_string(
+            "train.latest_model_name", "ckpt_best.npz"
+        )
+
+        beta_conf = conf.get_config("model.beta_network")
+        self.state = init_train_state(
+            seed=self.tcfg.seed,
+            udf_cfg=self.ucfg,
+            variance_init=conf.get_float("model.variance_network.init_val"),
+            beta_init=beta_conf.get_float("init_var_beta", 0.1),
+            gamma_init=beta_conf.get_float("init_var_gamma", 0.1),
+            zeta_init=beta_conf.get_float("init_var_zeta", 0.05),
+            requires_grad_beta=beta_conf.get_bool("requires_grad_beta", True),
+            requires_grad_gamma=beta_conf.get_bool("requires_grad_gamma", True),
+            requires_grad_zeta=beta_conf.get_bool("requires_grad_zeta", True),
+        )
+        self.pool = RayPool.from_scene(self.scene)
+        self.best_loss = 1.0
+        self.writer = None
+
+        self._train_step = None
+        self._render_chunk = None
+
+    # ------------------------------------------------------------------
+    # checkpointing
+    # ------------------------------------------------------------------
+    def _ckpt_dir(self) -> str:
+        return os.path.join(self.base_exp_dir, "checkpoints")
+
+    def save_checkpoint(self, loss_val: float) -> None:
+        """Save only when the rolling loss improves (runner_udf.py:265-285)."""
+        if loss_val >= self.best_loss:
+            return
+        self.best_loss = loss_val
+        payload = {
+            "params": self.state.params,
+            "opt": {
+                "mu": self.state.opt.mu,
+                "nu": self.state.opt.nu,
+                "count": self.state.opt.count,
+            },
+            "iter_step": np.asarray(self.state.step),
+            "flags": {
+                "beta_trainable": np.asarray(self.state.beta_trainable),
+                "gamma_trainable": np.asarray(self.state.gamma_trainable),
+                "zeta_trainable": np.asarray(self.state.zeta_trainable),
+                "variance_trainable": np.asarray(self.state.variance_trainable),
+                "beta_gate_armed": np.asarray(self.state.beta_gate_armed),
+            },
+            "best_loss": np.asarray(self.best_loss, np.float32),
+        }
+        path = os.path.join(self._ckpt_dir(), "ckpt_best.npz")
+        save_pytree(path, payload)
+        logger.info("saved checkpoint (best loss %.4f) -> %s", loss_val, path)
+
+    def load_checkpoint(self, name: str | None = None) -> None:
+        name = name or self.latest_model_name
+        path = (
+            name if os.path.isabs(name) else os.path.join(self._ckpt_dir(), name)
+        )
+        if not os.path.exists(path) and path.endswith(".pth"):
+            alt = path[:-4] + ".npz"
+            if os.path.exists(alt):
+                path = alt
+        if path.endswith(".pth"):
+            imported = import_reference_checkpoint(path)
+            params = jax.tree.map(jnp.asarray, imported["params"])
+            self.state = TrainState(
+                params=params,
+                opt=adam_init(params),
+                step=jnp.asarray(imported["iter_step"], jnp.int32),
+                key=self.state.key,
+                beta_trainable=self.state.beta_trainable,
+                gamma_trainable=self.state.gamma_trainable,
+                zeta_trainable=self.state.zeta_trainable,
+                variance_trainable=self.state.variance_trainable,
+                beta_gate_armed=self.state.beta_gate_armed,
+            )
+        else:
+            payload = load_pytree(path)
+            from emap_tpu.train.optim import AdamState
+
+            flags = payload["flags"]
+            self.state = TrainState(
+                params=jax.tree.map(jnp.asarray, payload["params"]),
+                opt=AdamState(
+                    mu=jax.tree.map(jnp.asarray, payload["opt"]["mu"]),
+                    nu=jax.tree.map(jnp.asarray, payload["opt"]["nu"]),
+                    count=jax.tree.map(jnp.asarray, payload["opt"]["count"]),
+                ),
+                step=jnp.asarray(payload["iter_step"], jnp.int32),
+                key=self.state.key,
+                beta_trainable=jnp.asarray(bool(flags["beta_trainable"])),
+                gamma_trainable=jnp.asarray(bool(flags["gamma_trainable"])),
+                zeta_trainable=jnp.asarray(bool(flags["zeta_trainable"])),
+                variance_trainable=jnp.asarray(
+                    bool(flags["variance_trainable"])
+                ),
+                beta_gate_armed=jnp.asarray(bool(flags["beta_gate_armed"])),
+            )
+            self.best_loss = float(payload.get("best_loss", 1.0))
+        logger.info("loaded checkpoint %s (iter %d)", path, int(self.state.step))
+
+    # ------------------------------------------------------------------
+    # run-dir snapshot (reference file_backup, runner_base.py:182-201)
+    # ------------------------------------------------------------------
+    def file_backup(self) -> None:
+        rec_dir = os.path.join(self.base_exp_dir, "recording")
+        os.makedirs(rec_dir, exist_ok=True)
+        for dir_name in self.conf.get_list("general.recording", []):
+            if os.path.isdir(dir_name):
+                dst = os.path.join(rec_dir, os.path.basename(dir_name.rstrip("/")))
+                shutil.copytree(
+                    dir_name, dst, dirs_exist_ok=True,
+                    ignore=shutil.ignore_patterns("__pycache__"),
+                )
+        with open(os.path.join(rec_dir, "config.conf"), "w") as f:
+            f.write(self.conf.to_hocon())
+
+    # ------------------------------------------------------------------
+    # training
+    # ------------------------------------------------------------------
+    def train(self) -> None:
+        if self.is_continue:
+            self.load_checkpoint()
+        if self.mode.startswith("train"):
+            self.file_backup()
+
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.writer = SummaryWriter(
+                log_dir=os.path.join(self.base_exp_dir, "logs")
+            )
+        except ImportError:
+            self.writer = None
+
+        if self._train_step is None:
+            self._train_step = build_train_step(
+                self.tcfg, self.rcfg, self.ucfg, self.scene.n_images,
+            )
+
+        loss_window: list = []
+        loss_avg = None
+        pending: list = []  # (step, metrics) fetched lazily
+        t0 = time.time()
+        start_step = int(self.state.step)
+
+        state = self.state
+        for it in range(start_step, self.end_iter):
+            state, metrics = self._train_step(state, self.pool)
+            step = it + 1
+            pending.append((step, metrics))
+
+            need_fetch = (
+                step % 500 == 0
+                or step % self.report_freq == 0
+                or step % self.save_freq == 0
+                or step == self.end_iter
+            )
+            if not need_fetch:
+                continue
+
+            # fetch pending metrics (device sync happens here only)
+            for s, m in pending:
+                loss_window.append(float(m["edge_loss"]))
+                if self.writer is not None:
+                    for key in (
+                        "loss", "edge_loss", "gradient_error", "psnr",
+                        "variance", "beta",
+                    ):
+                        self.writer.add_scalar(
+                            f"Loss/{key}" if "loss" in key or "error" in key
+                            else f"Sta/{key}",
+                            float(m[key]),
+                            s,
+                        )
+            last = pending[-1][1]
+            pending = []
+
+            if step % 500 == 0 and loss_window:
+                loss_avg = float(np.mean(loss_window))
+                loss_window = []
+
+            if step % self.report_freq == 0:
+                rays_per_sec = (
+                    self.batch_size * (step - start_step) / (time.time() - t0)
+                )
+                logger.info(
+                    "iter %d loss=%.4f edge=%.4f eik=%.4f psnr=%.2f "
+                    "s_val=%.5f beta=%.5f gamma=%.3f lr=%.2e lr_geo=%.2e "
+                    "w_sum=%.3f udf_min=%.5f rays/s=%.0f",
+                    step,
+                    float(last["loss"]),
+                    float(last["edge_loss"]),
+                    float(last["gradient_error"]),
+                    float(last["psnr"]),
+                    float(last["variance"]),
+                    float(last["beta"]),
+                    float(last["gamma"]),
+                    float(last["lr"]),
+                    float(last["lr_geo"]),
+                    float(last["weight_sum"]),
+                    float(last["udf_min"]),
+                    rays_per_sec,
+                )
+
+            self.state = state
+            if step % self.save_freq == 0 and loss_avg is not None:
+                self.save_checkpoint(loss_avg)
+            if step % self.val_freq == 0:
+                self.validate()
+
+        self.state = state
+
+    # ------------------------------------------------------------------
+    # validation (full-image render, reference runner_udf.py:287-484)
+    # ------------------------------------------------------------------
+    def _build_render_chunk(self, chunk: int):
+        rcfg, ucfg = self.rcfg, self.ucfg
+        near, far = self.near, self.far
+        bg = 1.0 if self.use_white_bkgd else None
+
+        def f(params, rays_o, rays_d, depth_scale, key, anneal):
+            out = render(
+                params, rays_o, rays_d, near, far, depth_scale, key,
+                rcfg, ucfg, cos_anneal_ratio=anneal, flip_saturation=0.0,
+                background_rgb=bg,
+            )
+            n_total = rcfg.total_samples
+            normals = jnp.sum(
+                out["gradients_flip"] * out["weights"][:, :n_total, None],
+                axis=1,
+            )
+            return {
+                "edge": out["edge"],
+                "depth": out["depth"],
+                "normals": normals,
+            }
+
+        return jax.jit(f)
+
+    def validate(self, idx: int = -1, resolution_level: int = -1) -> None:
+        if idx < 0:
+            idx = np.random.randint(self.scene.n_images)
+        if resolution_level < 0:
+            resolution_level = self.validate_resolution_level
+
+        rays_o, rays_d, depth_scale = gen_rays_at(
+            self.scene, idx, resolution_level
+        )
+        h, w, _ = rays_o.shape
+        flat_o = rays_o.reshape(-1, 3)
+        flat_d = rays_d.reshape(-1, 3)
+        flat_ds = depth_scale.reshape(-1, 1)
+
+        chunk = self.batch_size
+        if self._render_chunk is None:
+            self._render_chunk = self._build_render_chunk(chunk)
+
+        anneal = schedules.cos_anneal_ratio(
+            int(self.state.step), self.tcfg.anneal_end
+        )
+        n = len(flat_o)
+        pad = (-n) % chunk
+        if pad:
+            flat_o = np.concatenate([flat_o, np.zeros((pad, 3), np.float32)])
+            flat_d = np.concatenate(
+                [flat_d, np.tile(np.array([[0, 0, 1]], np.float32), (pad, 1))]
+            )
+            flat_ds = np.concatenate([flat_ds, np.ones((pad, 1), np.float32)])
+
+        outs = {"edge": [], "depth": [], "normals": []}
+        key = jax.random.key(int(self.state.step))
+        for c in range(0, len(flat_o), chunk):
+            res = self._render_chunk(
+                self.state.params,
+                jnp.asarray(flat_o[c : c + chunk]),
+                jnp.asarray(flat_d[c : c + chunk]),
+                jnp.asarray(flat_ds[c : c + chunk]),
+                jax.random.fold_in(key, c),
+                jnp.float32(anneal),
+            )
+            for k in outs:
+                outs[k].append(np.asarray(res[k]))
+
+        edge = np.concatenate(outs["edge"])[:n].reshape(h, w)
+        depth = np.concatenate(outs["depth"])[:n].reshape(h, w)
+        normals = np.concatenate(outs["normals"])[:n]
+
+        step = int(self.state.step)
+        # edge map: rendered | ground truth side by side
+        os.makedirs(os.path.join(self.base_exp_dir, "edge_maps"), exist_ok=True)
+        edge_img = (edge * 255).clip(0, 255).astype(np.uint8)
+        edge_rgb = np.stack([edge_img] * 3, axis=-1)
+        gt = edge_at(self.scene, idx, resolution_level).astype(np.uint8)
+        gt_rgb = np.stack([gt] * 3, axis=-1)
+        cv2.imwrite(
+            os.path.join(
+                self.base_exp_dir, "edge_maps", f"{step:08d}_{idx}.png"
+            ),
+            np.concatenate([edge_rgb, gt_rgb]),
+        )
+
+        # normal map rotated into the camera frame (runner_udf.py:447-467)
+        os.makedirs(os.path.join(self.base_exp_dir, "normals"), exist_ok=True)
+        rot = np.linalg.inv(self.scene.poses[idx, :3, :3])
+        normal_img = (
+            (normals @ rot.T).reshape(h, w, 3) * 128 + 128
+        ).clip(0, 255).astype(np.uint8)
+        cv2.imwrite(
+            os.path.join(self.base_exp_dir, "normals", f"{step:08d}_{idx}.png"),
+            normal_img[:, :, ::-1],
+        )
+
+        # depth
+        os.makedirs(os.path.join(self.base_exp_dir, "depths"), exist_ok=True)
+        cv2.imwrite(
+            os.path.join(self.base_exp_dir, "depths", f"{step:08d}_{idx}.png"),
+            visualize_depth(depth)[:, :, ::-1],
+        )
+
+    # ------------------------------------------------------------------
+    # extraction (reference runner_udf.py:486-587)
+    # ------------------------------------------------------------------
+    def extract_edge(
+        self,
+        resolution: int = 256,
+        udf_threshold: float = 1.0,
+        sampling_N: int = 50,
+        sampling_delta: float = 5e-3,
+        is_pointshift: bool = False,
+        iters: int = 1,
+        is_linedirection: bool = False,
+        visible_checking: bool = False,
+    ) -> dict:
+        self.load_checkpoint()
+        if self.model_type != "udf":
+            raise NotImplementedError(
+                "model types other than 'udf' are not supported"
+            )
+
+        points, line_dirs = extract_pointcloud(
+            self.state.params,
+            self.ucfg,
+            resolution=resolution,
+            udf_threshold=udf_threshold,
+            sampling_N=sampling_N,
+            sampling_delta=sampling_delta,
+            is_pointshift=is_pointshift,
+            iters=iters,
+            is_linedirection=is_linedirection,
+        )
+        ld_colors = (line_dirs + 1.0) / 2.0
+
+        result_dir = os.path.join(self.base_exp_dir, "results")
+        os.makedirs(result_dir, exist_ok=True)
+
+        from emap_tpu.utils.ply import write_ply_points
+
+        write_ply_points(
+            os.path.join(result_dir, "udf_pointcloud_withdirection.ply"),
+            points,
+            ld_colors,
+        )
+
+        pred_points, edge_dict = get_parametric_edge(
+            points,
+            ld_colors,
+            resolution,
+            self.scene.detector,
+            self.scene.data_dir,
+            visible_checking=visible_checking,
+        )
+
+        write_ply_points(
+            os.path.join(result_dir, "edge_points.ply"), pred_points
+        )
+        with open(os.path.join(result_dir, "parametric_edges.json"), "w") as f:
+            json.dump(edge_dict, f)
+        logger.info(
+            "extracted %d curves + %d lines -> %s",
+            len(edge_dict["curves_ctl_pts"]),
+            len(edge_dict["lines_end_pts"]),
+            result_dir,
+        )
+        return edge_dict

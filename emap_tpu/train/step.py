@@ -102,9 +102,20 @@ def _label_trees(params, state: TrainState, lr_val, lr_geo_val):
 
 
 def build_train_step(tcfg: TrainConfig, rcfg: RenderConfig, ucfg: UDFConfig,
-                     n_images: int, donate: bool = True):
-    """Returns train_step(state, pool) -> (new_state, metrics); jitted."""
+                     n_images: int, donate: bool = True, mesh=None,
+                     axis: str = "data"):
+    """Returns train_step(state, pool) -> (new_state, metrics); jitted.
+
+    With `mesh`, the sampled ray batch is sharding-constrained along `axis`
+    (params replicate, XLA partitions render/backward over rays and inserts
+    the gradient psum over ICI) -- same program, 1 chip or N.
+    """
     perm_key = jax.random.key(tcfg.seed + 7919)
+    if mesh is not None:
+        assert tcfg.batch_size % mesh.shape[axis] == 0, (
+            f"batch_size {tcfg.batch_size} must divide mesh axis "
+            f"{mesh.shape[axis]}"
+        )
 
     def train_step(state: TrainState, pool: RayPool):
         key_next, k_rays, k_render = jax.random.split(state.key, 3)
@@ -120,6 +131,10 @@ def build_train_step(tcfg: TrainConfig, rcfg: RenderConfig, ucfg: UDFConfig,
             pool, img_idx, k_rays, tcfg.batch_size,
             importance_sample=tcfg.importance_sample,
         )
+        if mesh is not None:
+            from emap_tpu.parallel.mesh import shard_rays_constraint
+
+            batch = shard_rays_constraint(batch, mesh, axis)
         true_edge = batch["edge"]
 
         anneal = schedules.cos_anneal_ratio(step, tcfg.anneal_end)

@@ -1,0 +1,9 @@
+#!/bin/bash
+set -e
+export PYTHONPATH=.
+
+# Train the UDF edge field
+python main.py --conf ./confs/ABC.conf --mode train
+
+# Extract parametric edges
+python main.py --conf ./confs/ABC.conf --mode extract_edge
