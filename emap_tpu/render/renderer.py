@@ -81,8 +81,21 @@ class RenderConfig:
         )
 
     @property
+    def n_importance_delivered(self) -> int:
+        """Extra samples actually produced by the up-sampler: 'classical'
+        delivers steps*(n//steps); 'mix' (steps+1)*(n//(steps+1)) -- the
+        reference's documented under-delivery (SURVEY.md §2.2)."""
+        if self.n_importance == 0:
+            return 0
+        if self.upsampling_type == "mix":
+            per = self.n_importance // (self.up_sample_steps + 1)
+            return per * (self.up_sample_steps + 1)
+        per = self.n_importance // self.up_sample_steps
+        return per * self.up_sample_steps
+
+    @property
     def total_samples(self) -> int:
-        return self.n_samples + self.n_importance
+        return self.n_samples + self.n_importance_delivered
 
 
 def render_core(
@@ -267,22 +280,27 @@ def render(
     )
 
     if cfg.n_importance > 0:
-        if cfg.upsampling_type != "classical":
-            raise NotImplementedError(
-                "only upsampling_type='classical' is implemented (the 'mix' "
-                "strategy is unused by every shipped conf and under-delivers "
-                "samples -- reference :843-918)."
+        udf_fn = lambda p: udf_value(params["udf"], p, udf_cfg)  # noqa: E731
+        if cfg.upsampling_type == "classical":
+            z_vals = sampling.importance_sample(
+                udf_fn, rays_o, rays_d, z_vals, sample_dist,
+                cfg.n_importance, cfg.up_sample_steps,
+                use_unbias=cfg.use_unbias_render,
             )
-        z_vals = sampling.importance_sample(
-            lambda p: udf_value(params["udf"], p, udf_cfg),
-            rays_o,
-            rays_d,
-            z_vals,
-            sample_dist,
-            cfg.n_importance,
-            cfg.up_sample_steps,
-            use_unbias=cfg.use_unbias_render,
-        )
+        elif cfg.upsampling_type == "mix":
+            from emap_tpu.fields.scalars import beta_gamma_zeta
+
+            beta_m, gamma_m, _ = beta_gamma_zeta(params["beta"], cfg.beta_min)
+            z_vals = sampling.importance_sample_mix(
+                udf_fn, rays_o, rays_d, z_vals, sample_dist,
+                cfg.n_importance, cfg.up_sample_steps,
+                jnp.clip(beta_m[0], 1e-6, 1e6),
+                jnp.clip(gamma_m[0], 1e-6, 1e6),
+            )
+        else:
+            raise NotImplementedError(
+                f"unknown upsampling_type {cfg.upsampling_type!r}"
+            )
 
     ret = render_core(
         params,

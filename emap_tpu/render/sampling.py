@@ -241,3 +241,43 @@ def importance_sample(
         z_vals, udf = _merge_z_vals(z_vals, new_z, udf, new_udf)
 
     return jax.lax.stop_gradient(z_vals)
+
+
+def importance_sample_mix(
+    udf_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    sample_dist: float,
+    n_importance: int,
+    up_sample_steps: int,
+    beta,
+    gamma,
+) -> jnp.ndarray:
+    """"mix" strategy (reference :843-918): `up_sample_steps` rounds of
+    non-occlusion-aware sampling with the learned beta/gamma, then one
+    unbiased round. Delivers (steps+1) * (n_importance // (steps+1)) extra
+    samples -- fewer than n_importance, faithfully reproducing the
+    reference's under-delivery (SURVEY.md bug note)."""
+    batch = rays_o.shape[0]
+    n_per = n_importance // (up_sample_steps + 1)
+
+    def query(z):
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+        return udf_fn(pts.reshape(-1, 3)).reshape(batch, z.shape[-1])
+
+    udf = query(z_vals)
+    for i in range(up_sample_steps):
+        new_z = up_sample_no_occ_aware(
+            rays_o, rays_d, z_vals, udf, sample_dist, n_per,
+            64 * 2**i, 64 * 2 ** (i + 1), gamma,
+        )
+        z_vals, udf = _merge_z_vals(z_vals, new_z, udf, query(new_z))
+
+    i = up_sample_steps - 1
+    new_z = up_sample_unbias(
+        rays_o, rays_d, z_vals, udf, sample_dist, n_per,
+        64 * 2**i, 64 * 2 ** (i + 1), 20.0 if i < 4 else 10.0,
+    )
+    z_vals, _ = _merge_z_vals(z_vals, new_z, udf, None)
+    return jax.lax.stop_gradient(z_vals)

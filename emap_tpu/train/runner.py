@@ -46,6 +46,7 @@ from emap_tpu.train import schedules
 from emap_tpu.train.optim import adam_init
 from emap_tpu.train.state import TrainState, init_train_state
 from emap_tpu.train.step import TrainConfig, build_train_step
+from emap_tpu.utils.guards import assert_finite_metrics
 from emap_tpu.utils.vis import visualize_depth
 
 logger = logging.getLogger(__name__)
@@ -233,8 +234,25 @@ class Runner:
         t0 = time.time()
         start_step = int(self.state.step)
 
+        # optional profiler trace (SURVEY.md §5: the reference has no tracing;
+        # here a window of steps can be captured with the JAX profiler)
+        profile_steps = self.conf.get_int("train.profile_steps", 0)
+        profile_start = start_step + 5
+
         state = self.state
         for it in range(start_step, self.end_iter):
+            if profile_steps and it == profile_start:
+                jax.profiler.start_trace(
+                    os.path.join(self.base_exp_dir, "profile")
+                )
+            if profile_steps and it == profile_start + profile_steps:
+                jax.profiler.stop_trace()
+                logger.info(
+                    "profiler trace written to %s",
+                    os.path.join(self.base_exp_dir, "profile"),
+                )
+                profile_steps = 0
+
             state, metrics = self._train_step(state, self.pool)
             step = it + 1
             pending.append((step, metrics))
@@ -264,6 +282,11 @@ class Runner:
                         )
             last = pending[-1][1]
             pending = []
+            # failure detection (replaces the reference's pdb NaN tripwires)
+            assert_finite_metrics(
+                {k: float(last[k]) for k in ("loss", "edge_loss", "psnr")},
+                step,
+            )
 
             if step % 500 == 0 and loss_window:
                 loss_avg = float(np.mean(loss_window))
