@@ -47,7 +47,7 @@ def shard_rays_constraint(batch, mesh: Mesh, axis: str = DATA_AXIS):
 
 
 def build_sharded_train_step(tcfg, rcfg, ucfg, n_images, mesh: Mesh,
-                             axis: str = DATA_AXIS, donate: bool = True):
+                             axis: str = DATA_AXIS, donate=None):
     """Ray-sharded train step: see emap_tpu.train.step.build_train_step."""
     from emap_tpu.train.step import build_train_step
 

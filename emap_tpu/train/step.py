@@ -101,15 +101,32 @@ def _label_trees(params, state: TrainState, lr_val, lr_geo_val):
     return lr_tree, mask_tree
 
 
+def donation_supported() -> bool:
+    """Buffer donation crashes the axon (tunneled TPU) backend with
+    INVALID_ARGUMENT when reading donated-step outputs; disable it there.
+    The axon plugin reports platform 'tpu', so detect it via its env."""
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "") == "axon" or os.environ.get(
+        "AXON_LOOPBACK_RELAY"
+    ):
+        return False
+    return True
+
+
 def build_train_step(tcfg: TrainConfig, rcfg: RenderConfig, ucfg: UDFConfig,
-                     n_images: int, donate: bool = True, mesh=None,
+                     n_images: int, donate: bool | None = None, mesh=None,
                      axis: str = "data"):
     """Returns train_step(state, pool) -> (new_state, metrics); jitted.
 
     With `mesh`, the sampled ray batch is sharding-constrained along `axis`
     (params replicate, XLA partitions render/backward over rays and inserts
     the gradient psum over ICI) -- same program, 1 chip or N.
+
+    donate=None enables state-buffer donation where the backend supports it.
     """
+    if donate is None:
+        donate = donation_supported()
     perm_key = jax.random.key(tcfg.seed + 7919)
     if mesh is not None:
         assert tcfg.batch_size % mesh.shape[axis] == 0, (

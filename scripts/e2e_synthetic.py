@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""End-to-end pipeline validation on the synthetic cube-wireframe scene:
+train the UDF edge field -> extract parametric edges -> score F@5/10/20mm
+against the analytic wireframe GT.
+
+This is the minimum end-to-end slice of SURVEY.md §7 (driver config #1
+analog) runnable without the Google-Drive datasets. On the TPU the default
+settings take a few minutes; on CPU use E2E_STEPS=300 E2E_BATCH=128.
+
+Env knobs: E2E_STEPS (default 3000), E2E_BATCH (512), E2E_RES (96, grid
+resolution for extraction), E2E_OUT (exp dir), E2E_VIEWS (24), E2E_IMG (128).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+
+def main() -> dict:
+    from emap_tpu import config
+    from emap_tpu.data.synthetic import (
+        make_synthetic_scene,
+        sample_cube_edge_points,
+    )
+    from emap_tpu.eval.metrics import (
+        chamfer_distance,
+        compute_precision_recall_iou,
+        downsample_point_cloud_average,
+    )
+    from emap_tpu.train.runner import Runner
+
+    steps = int(os.environ.get("E2E_STEPS", "3000"))
+    batch = int(os.environ.get("E2E_BATCH", "512"))
+    res = int(os.environ.get("E2E_RES", "96"))
+    n_views = int(os.environ.get("E2E_VIEWS", "24"))
+    img = int(os.environ.get("E2E_IMG", "128"))
+    out_dir = os.environ.get("E2E_OUT", tempfile.mkdtemp(prefix="emap_e2e_"))
+
+    data_dir = os.path.join(out_dir, "data")
+    make_synthetic_scene(data_dir, scan="cube000", n_views=n_views, H=img, W=img)
+
+    conf = config.Config(
+        {
+            "general": {
+                "base_exp_dir": os.path.join(out_dir, "exp"),
+                "expname": "emap",
+                "model_type": "udf",
+                "recording": [],
+            },
+            "dataset": {
+                "data_dir": data_dir,
+                "scan": "cube000",
+                "dataset_name": "NEF",
+                "detector": "DexiNed",
+                "near": 0.05,
+                "far": 4.5,
+            },
+            "train": {
+                "latest_model_name": "ckpt_best.npz",
+                "importance_sample": True,
+                "learning_rate": 5e-4,
+                "learning_rate_geo": 1e-4,
+                "learning_rate_alpha": 0.05,
+                "end_iter": steps,
+                "batch_size": batch,
+                "validate_resolution_level": 2,
+                "warm_up_end": min(1000, steps // 10),
+                "anneal_end": min(10000, steps // 2),
+                "use_white_bkgd": False,
+                "save_freq": max(500, steps // 10),
+                "val_freq": max(500, steps // 4),
+                "report_freq": 500,
+                "igr_weight": 0.1,
+                "igr_ns_weight": 0.0,
+            },
+            "edge_loss": {"edge_weight": 1.0, "loss_type": "mse"},
+            "model": {
+                "udf_network": {
+                    "d_out": 1, "d_in": 3, "d_hidden": 256, "n_layers": 8,
+                    "skip_in": [4], "multires": 10, "bias": 0.5, "scale": 1.0,
+                    "geometric_init": True, "weight_norm": True,
+                    "udf_type": "abs",
+                },
+                "variance_network": {"init_val": 0.3},
+                "beta_network": {
+                    "init_var_beta": 0.5, "init_var_gamma": 0.3,
+                    "init_var_zeta": 0.3, "beta_min": 0.00005,
+                    "requires_grad_beta": True, "requires_grad_gamma": True,
+                    "requires_grad_zeta": False,
+                },
+                "udf_renderer": {
+                    "n_samples": 64, "n_importance": 50, "n_outside": 0,
+                    "up_sample_steps": 5, "perturb": 1.0,
+                    "sdf2alpha_type": "numerical",
+                    "upsampling_type": "classical",
+                    "use_unbias_render": True,
+                },
+            },
+            "edge_extraction": {
+                "is_pointshift": True, "iters": 2, "is_linedirection": True,
+                "udf_threshold": 0.02, "resolution": res,
+                "sampling_delta": 0.005, "sampling_N": 50,
+                "visible_checking": False,
+            },
+        }
+    )
+
+    runner = Runner(conf, mode="train")
+    runner.train()
+    runner.save_checkpoint(0.0)  # force-save final weights for extraction
+    runner.best_loss = 1.0
+
+    edge_dict = runner.extract_edge(
+        resolution=res,
+        udf_threshold=0.02,
+        sampling_N=50,
+        sampling_delta=0.005,
+        is_pointshift=True,
+        iters=2,
+        is_linedirection=True,
+        visible_checking=False,
+    )
+
+    # eval against the analytic wireframe
+    from emap_tpu.eval.metrics import get_pred_points_and_directions
+
+    json_path = os.path.join(
+        runner.base_exp_dir, "results", "parametric_edges.json"
+    )
+    curve_pts, line_pts, _, _ = get_pred_points_and_directions(json_path)
+    pred = np.concatenate([curve_pts, line_pts]).reshape(-1, 3)
+    pred = downsample_point_cloud_average(
+        pred.astype(np.float32), 256, [-1, -1, -1], [1, 1, 1]
+    )
+    gt = sample_cube_edge_points(0.5, spacing=0.005)
+
+    metrics = {
+        f"{name}_{t}": []
+        for name in ("precision", "recall", "fscore", "IOU")
+        for t in (0.005, 0.01, 0.02)
+    }
+    chamfer, acc, comp = chamfer_distance(pred, gt)
+    compute_precision_recall_iou(pred, gt, metrics, [0.005, 0.01, 0.02], "all")
+    result = {
+        "chamfer": round(chamfer, 5),
+        "acc": round(acc, 5),
+        "comp": round(comp, 5),
+        **{k: round(v[0], 4) for k, v in metrics.items()},
+        "n_lines": len(edge_dict["lines_end_pts"]),
+        "n_curves": len(edge_dict["curves_ctl_pts"]),
+        "out_dir": out_dir,
+        "steps": steps,
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()
