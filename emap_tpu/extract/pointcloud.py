@@ -44,22 +44,37 @@ def _grid_chunk_points(flat_start: int, chunk: int, N: int) -> jnp.ndarray:
     return pts
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "N", "ucfg"))
-def _grid_udf_chunk(params, flat_start, chunk: int, N: int, ucfg: UDFConfig):
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "N", "ucfg", "use_pallas")
+)
+def _grid_udf_chunk(params, flat_start, chunk: int, N: int, ucfg: UDFConfig,
+                    use_pallas: bool = False):
     pts = _grid_chunk_points(flat_start, chunk, N)
+    if use_pallas:
+        from emap_tpu.kernels import pallas_udf_value
+
+        return pallas_udf_value(params, pts, ucfg)
     return udf_value(params, pts, ucfg)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ucfg", "sampling_n", "with_linedir")
+    jax.jit,
+    static_argnames=("ucfg", "sampling_n", "with_linedir", "use_pallas"),
 )
 def _point_batch_features(
     params, pts, key, ucfg: UDFConfig, sampling_n: int,
-    sampling_delta: float, with_linedir: bool,
+    sampling_delta: float, with_linedir: bool, use_pallas: bool = False,
 ):
     """udf, normals (-unit grad), and optional line directions for a padded
     (B, 3) batch of candidate points."""
-    udf, grad = udf_value_and_gradient(params, pts, ucfg)
+    if use_pallas:
+        from emap_tpu.kernels import pallas_udf_value_and_grad
+
+        value_and_grad = lambda p: pallas_udf_value_and_grad(params, p, ucfg)  # noqa: E731
+    else:
+        value_and_grad = lambda p: udf_value_and_gradient(params, p, ucfg)  # noqa: E731
+
+    udf, grad = value_and_grad(pts)
     normals = -grad / (jnp.linalg.norm(grad, axis=-1, keepdims=True) + 1e-5)
 
     if not with_linedir:
@@ -69,7 +84,7 @@ def _point_batch_features(
         key, (pts.shape[0], sampling_n, 3), dtype=pts.dtype
     )
     samples = pts[:, None, :] + jitter
-    g = udf_value_and_gradient(params, samples.reshape(-1, 3), ucfg)[1]
+    g = value_and_grad(samples.reshape(-1, 3))[1]
     g = g.reshape(pts.shape[0], sampling_n, 3)
     # normalize like the reference's func_grad (gradient / (|gradient|+1e-5))
     g = g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-5)

@@ -49,6 +49,12 @@ class RenderConfig:
     use_norm_grad_for_cosine: bool = False
     near_surface: float = 0.05
     beta_min: float = 0.00005
+    # matmul precision for the no-grad importance-sampling field queries.
+    # They only decide *where* z-samples land (render_core re-evaluates at
+    # full precision), so the TPU's fast bf16-pass matmul is quality-safe
+    # and removes ~1/3 of the step's MXU work. Set to "highest" to force
+    # full-precision sampling.
+    sampler_precision: str = "default"
 
     def __post_init__(self):
         if self.n_outside != 0:
@@ -280,7 +286,10 @@ def render(
     )
 
     if cfg.n_importance > 0:
-        udf_fn = lambda p: udf_value(params["udf"], p, udf_cfg)  # noqa: E731
+        sampler_ucfg = dataclasses.replace(
+            udf_cfg, precision=cfg.sampler_precision
+        )
+        udf_fn = lambda p: udf_value(params["udf"], p, sampler_ucfg)  # noqa: E731
         if cfg.upsampling_type == "classical":
             z_vals = sampling.importance_sample(
                 udf_fn, rays_o, rays_d, z_vals, sample_dist,

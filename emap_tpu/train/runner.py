@@ -451,7 +451,7 @@ class Runner:
             )
 
         points, line_dirs = extract_pointcloud(
-            self.state.params,
+            self.state.params["udf"],
             self.ucfg,
             resolution=resolution,
             udf_threshold=udf_threshold,

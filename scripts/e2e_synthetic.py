@@ -36,9 +36,10 @@ def main() -> dict:
     )
     from emap_tpu.train.runner import Runner
 
-    steps = int(os.environ.get("E2E_STEPS", "3000"))
+    steps = int(os.environ.get("E2E_STEPS", "12000"))
     batch = int(os.environ.get("E2E_BATCH", "512"))
     res = int(os.environ.get("E2E_RES", "96"))
+    thresh = float(os.environ.get("E2E_THRESH", "0.03"))
     n_views = int(os.environ.get("E2E_VIEWS", "24"))
     img = int(os.environ.get("E2E_IMG", "128"))
     out_dir = os.environ.get("E2E_OUT", tempfile.mkdtemp(prefix="emap_e2e_"))
@@ -105,7 +106,7 @@ def main() -> dict:
             },
             "edge_extraction": {
                 "is_pointshift": True, "iters": 2, "is_linedirection": True,
-                "udf_threshold": 0.02, "resolution": res,
+                "udf_threshold": thresh, "resolution": res,
                 "sampling_delta": 0.005, "sampling_N": 50,
                 "visible_checking": False,
             },
@@ -119,7 +120,7 @@ def main() -> dict:
 
     edge_dict = runner.extract_edge(
         resolution=res,
-        udf_threshold=0.02,
+        udf_threshold=thresh,
         sampling_N=50,
         sampling_delta=0.005,
         is_pointshift=True,

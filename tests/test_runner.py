@@ -1,0 +1,152 @@
+"""Runner orchestration integration test: train a few steps through the full
+Runner surface, validate images, checkpoint round-trip, and extraction
+artifacts -- all on a tiny synthetic scene/net."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from emap_tpu import config
+from emap_tpu.data import make_synthetic_scene
+
+
+@pytest.fixture(scope="module")
+def runner_conf(tmp_path_factory):
+    root = tmp_path_factory.mktemp("runner")
+    data_dir = str(root / "data")
+    make_synthetic_scene(data_dir, scan="cube000", n_views=3, H=32, W=32)
+    return config.Config(
+        {
+            "general": {
+                "base_exp_dir": str(root / "exp"),
+                "expname": "emap",
+                "model_type": "udf",
+                "recording": [],
+            },
+            "dataset": {
+                "data_dir": data_dir,
+                "scan": "cube000",
+                "dataset_name": "NEF",
+                "detector": "DexiNed",
+                "near": 0.05,
+                "far": 4.5,
+            },
+            "train": {
+                "latest_model_name": "ckpt_best.npz",
+                "importance_sample": True,
+                "learning_rate": 5e-4,
+                "learning_rate_geo": 1e-4,
+                "learning_rate_alpha": 0.05,
+                "end_iter": 10,
+                "batch_size": 32,
+                "validate_resolution_level": 2,
+                "warm_up_end": 2,
+                "anneal_end": 5,
+                "use_white_bkgd": False,
+                "save_freq": 5,
+                "val_freq": 5,
+                "report_freq": 5,
+                "igr_weight": 0.1,
+                "igr_ns_weight": 0.0,
+            },
+            "edge_loss": {"edge_weight": 1.0, "loss_type": "mse"},
+            "model": {
+                "udf_network": {
+                    "d_out": 1, "d_in": 3, "d_hidden": 32, "n_layers": 2,
+                    "skip_in": [1], "multires": 2, "bias": 0.5, "scale": 1.0,
+                    "geometric_init": True, "weight_norm": True,
+                    "udf_type": "abs",
+                },
+                "variance_network": {"init_val": 0.3},
+                "beta_network": {
+                    "init_var_beta": 0.5, "init_var_gamma": 0.3,
+                    "init_var_zeta": 0.3, "beta_min": 0.00005,
+                    "requires_grad_beta": True, "requires_grad_gamma": True,
+                    "requires_grad_zeta": False,
+                },
+                "udf_renderer": {
+                    "n_samples": 8, "n_importance": 5, "n_outside": 0,
+                    "up_sample_steps": 5, "perturb": 1.0,
+                    "sdf2alpha_type": "numerical",
+                    "upsampling_type": "classical",
+                    "use_unbias_render": True,
+                },
+            },
+            "edge_extraction": {
+                "is_pointshift": True, "iters": 1, "is_linedirection": True,
+                "udf_threshold": 0.3, "resolution": 16,
+                "sampling_delta": 0.01, "sampling_N": 8,
+                "visible_checking": False,
+            },
+        }
+    )
+
+
+def test_runner_train_validate_checkpoint_extract(runner_conf):
+    from emap_tpu.train.runner import Runner
+
+    runner = Runner(runner_conf, mode="train")
+    runner.train()
+    assert int(runner.state.step) == 10
+
+    exp = runner.base_exp_dir
+    # validation artifacts
+    assert len(os.listdir(os.path.join(exp, "edge_maps"))) >= 1
+    assert len(os.listdir(os.path.join(exp, "normals"))) >= 1
+    assert len(os.listdir(os.path.join(exp, "depths"))) >= 1
+    # checkpoint saved (loss_avg computed only at 500-step cadence in the
+    # reference; our runner keeps the policy, so force one here)
+    runner.save_checkpoint(0.0)
+    assert os.path.exists(os.path.join(exp, "checkpoints", "ckpt_best.npz"))
+
+    # fresh runner resumes from the checkpoint
+    runner2 = Runner(runner_conf, mode="train", is_continue=True)
+    runner2.load_checkpoint()
+    assert int(runner2.state.step) == 10
+
+    # extraction writes the reference's artifact set
+    edge_dict = runner2.extract_edge(
+        resolution=16, udf_threshold=0.3, sampling_N=8, sampling_delta=0.01,
+        is_pointshift=True, iters=1, is_linedirection=True,
+        visible_checking=False,
+    )
+    results = os.path.join(exp, "results")
+    assert os.path.exists(
+        os.path.join(results, "udf_pointcloud_withdirection.ply")
+    )
+    assert os.path.exists(os.path.join(results, "edge_points.ply"))
+    json_path = os.path.join(results, "parametric_edges.json")
+    with open(json_path) as f:
+        data = json.load(f)
+    assert set(data.keys()) == {"curves_ctl_pts", "lines_end_pts"}
+
+
+def test_visibility_checking_path(runner_conf):
+    """visible_checking=True exercises get_edge_maps + compute_visibility."""
+    import numpy as np
+
+    from emap_tpu.extract.parametric import (
+        compute_visibility,
+        get_edge_maps,
+        sample_primitives,
+    )
+
+    scan_dir = os.path.join(
+        runner_conf["dataset.data_dir"], runner_conf["dataset.scan"]
+    )
+    edges, intrinsics, camtoworld, h, w = get_edge_maps(scan_dir, "DexiNed")
+    assert edges.shape == (3, 32, 32)
+    # a line crossing the cube should be visible; a far-away line not
+    lines = np.array(
+        [[-0.5, -0.5, -0.5, 0.5, -0.5, -0.5], [30, 30, 30, 31, 30, 30.0]]
+    )
+    _, per_curve, per_line = sample_primitives(np.zeros((0, 12)), lines)
+    # NOTE: DexiNed maps are inverted inside get_edge_maps (reference quirk,
+    # extract_parametric_edge.py:55-58), so visibility is checked against
+    # inverted maps here -- test only that the far line is never visible.
+    vis = compute_visibility(
+        per_curve + per_line, edges, intrinsics, camtoworld, h, w, 0.5, 1
+    )
+    assert not vis[1]
