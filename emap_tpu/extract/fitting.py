@@ -386,14 +386,34 @@ def edge_fit(
     ld = ld / (np.linalg.norm(ld, axis=1, keepdims=True) + 1e-6)
     pts_wld = np.concatenate([pts_ds, ld], axis=1)
 
-    polyline_idx = connect_points(
-        pts_wld,
-        fit_distance_threshold / res,
-        angle_threshold,
-        nms_factor,
-        keep_short_lines,
-        rng,
-    )
+    # the greedy growth is the sequential hot spot at 256^3 resolutions;
+    # use the grid-hashed C++ implementation when available
+    use_native = False
+    if len(pts_wld) > 2000:
+        try:
+            from emap_tpu.native import connect_points_native, native_available
+
+            use_native = native_available()
+        except ImportError:  # pragma: no cover
+            use_native = False
+    if use_native:
+        polyline_idx = connect_points_native(
+            pts_wld,
+            fit_distance_threshold / res,
+            angle_threshold,
+            nms_factor,
+            keep_short_lines,
+            seed=seed,
+        )
+    else:
+        polyline_idx = connect_points(
+            pts_wld,
+            fit_distance_threshold / res,
+            angle_threshold,
+            nms_factor,
+            keep_short_lines,
+            rng,
+        )
     polylines = [pts_wld[idx] for idx in polyline_idx]
 
     segments, raw_on_lines, curve_params, raw_on_curves = fit_polylines(

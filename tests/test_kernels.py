@@ -15,13 +15,19 @@ from emap_tpu.fields import (
 )
 from emap_tpu.kernels import pallas_udf_value, pallas_udf_value_and_grad
 
-CFGS = [
-    UDFConfig(d_hidden=64, n_layers=4, skip_in=(2,), multires=4),
-    UDFConfig(),  # flagship 8x256
-]
+import os
+
+# interpret-mode pallas on this 1-core host is minutes per flagship-size
+# test; run the full 8x256 configuration only when RUN_SLOW=1 (it is also
+# exercised on real TPU by the extraction path / bench).
+_CFG_IDS = ["small"]
+CFGS = [UDFConfig(d_hidden=64, n_layers=4, skip_in=(2,), multires=4)]
+if os.environ.get("RUN_SLOW"):
+    CFGS.append(UDFConfig())
+    _CFG_IDS.append("flagship")
 
 
-@pytest.mark.parametrize("cfg", CFGS, ids=["small", "flagship"])
+@pytest.mark.parametrize("cfg", CFGS, ids=_CFG_IDS)
 def test_value_matches_reference_impl(cfg):
     params = init_udf_params(jax.random.key(0), cfg)
     pts = jnp.asarray(
@@ -35,7 +41,7 @@ def test_value_matches_reference_impl(cfg):
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("cfg", CFGS, ids=["small", "flagship"])
+@pytest.mark.parametrize("cfg", CFGS, ids=_CFG_IDS)
 def test_value_and_grad_matches_autodiff(cfg):
     params = init_udf_params(jax.random.key(1), cfg)
     pts = jnp.asarray(
