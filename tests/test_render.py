@@ -173,7 +173,12 @@ class TestRenderParity:
         imported = _export_import(tmp_path, udf_net, var_net, beta_net)
         params = imported["params"]
 
-        rcfg = RenderConfig(n_samples=16, n_importance=10, up_sample_steps=5)
+        # pin the sampler to full precision for bitwise-comparable sample
+        # placement (production default uses fast matmuls there)
+        rcfg = RenderConfig(
+            n_samples=16, n_importance=10, up_sample_steps=5,
+            sampler_precision="highest",
+        )
         ref_renderer = ref_mod.UDFRendererBlending(
             None, udf_net, var_net, beta_net,
             n_samples=16, n_importance=10, n_outside=0, up_sample_steps=5,
