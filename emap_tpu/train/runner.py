@@ -261,6 +261,7 @@ class Runner:
                 step % 500 == 0
                 or step % self.report_freq == 0
                 or step % self.save_freq == 0
+                or step % self.val_freq == 0
                 or step == self.end_iter
             )
             if not need_fetch:
