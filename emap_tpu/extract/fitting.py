@@ -117,6 +117,27 @@ def line_fitting(points: np.ndarray):
     return seg, lam
 
 
+def lines_fitting(lines: list, lamda_threshold: float):
+    """Classify point groups into straight lines vs curve candidates by the
+    straightness score lambda (reference line_fit.py:208-236)."""
+    straight, curve_segments, curves, lamdas = [], [], [], []
+    for endpoints in lines:
+        endpoints = np.asarray(endpoints, np.float64).reshape(-1, 3)
+        seg, lam = line_fitting(endpoints)
+        lamdas.append(lam)
+        if lam < lamda_threshold:
+            curves.append(endpoints)
+            curve_segments.append(
+                [
+                    np.hstack([endpoints[i], endpoints[i + 1]])
+                    for i in range(len(endpoints) - 1)
+                ]
+            )
+            continue
+        straight.append(seg)
+    return np.asarray(straight), curve_segments, curves, lamdas
+
+
 def connect_points(
     points_wld: np.ndarray,
     distance_threshold: float,
@@ -242,9 +263,12 @@ def fit_line_ransac_3d(
     max_curves: int = 2,
     keep_short_lines: bool = False,
     rng: np.random.Generator | None = None,
+    ransac_with_direction: bool = False,
 ):
     """Iteratively RANSAC-fit up to max_lines 3D lines to an ordered polyline
-    (reference line_fit.py:52-180).
+    (reference line_fit.py:52-180). `ransac_with_direction` replaces the
+    random 2-point hypotheses with each point's own line direction
+    (reference :120-136; unused by the pipeline defaults).
 
     Returns (segments [ (6,) arrays ], inlier_point_lists, curve_candidates).
     """
@@ -262,21 +286,34 @@ def fit_line_ransac_3d(
     while budget and len(pts) >= min_inliers:
         budget -= 1
         best_mask, best_n, best_pair = None, 0, None
-        for _ in range(max_iterations):
-            i, j = rng.choice(len(pts), 2, replace=False)
-            p1 = pts[i, :3]
-            direction = pts[j, :3] - p1
-            norm = np.linalg.norm(direction)
-            if norm < 1e-6:
-                continue
-            direction = direction / norm
+        if ransac_with_direction:
+            xyz, ld = pts[:, :3], pts[:, 3:6]
+            ld = ld / (np.linalg.norm(ld, axis=1, keepdims=True) + 1e-12)
             dist = np.linalg.norm(
-                np.cross(pts[:, :3] - p1, direction), axis=1
-            )
-            mask = dist < inlier_dist
-            n_in = int(mask.sum())
-            if n_in > best_n:
-                best_n, best_mask, best_pair = n_in, mask, (p1, direction)
+                np.cross(xyz[None] - xyz[:, None], ld[:, None]), axis=2
+            )  # (N, N): point j to the line through i along ld_i
+            masks = dist < inlier_dist
+            counts = masks.sum(axis=1)
+            i = int(np.argmax(counts))
+            best_n = int(counts[i])
+            best_mask = masks[i]
+            best_pair = (xyz[i], ld[i])
+        else:
+            for _ in range(max_iterations):
+                i, j = rng.choice(len(pts), 2, replace=False)
+                p1 = pts[i, :3]
+                direction = pts[j, :3] - p1
+                norm = np.linalg.norm(direction)
+                if norm < 1e-6:
+                    continue
+                direction = direction / norm
+                dist = np.linalg.norm(
+                    np.cross(pts[:, :3] - p1, direction), axis=1
+                )
+                mask = dist < inlier_dist
+                n_in = int(mask.sum())
+                if n_in > best_n:
+                    best_n, best_mask, best_pair = n_in, mask, (p1, direction)
 
         if best_n < min_inliers:
             break

@@ -130,6 +130,59 @@ def _run_point_batches(
     )
 
 
+def extract_fields(
+    params, ucfg: UDFConfig, bound_min, bound_max, resolution: int,
+    chunk: int = 65536,
+):
+    """Dense UDF grid over an arbitrary AABB, (res, res, res) numpy.
+
+    API analog of the reference's chunked grid helpers
+    (udf_renderer_blending.py:8-36); the pipeline's own extraction uses the
+    fixed [-1,1]^3 grid path below."""
+    axes = [
+        np.linspace(bound_min[d], bound_max[d], resolution, dtype=np.float32)
+        for d in range(3)
+    ]
+    xx, yy, zz = np.meshgrid(*axes, indexing="ij")
+    pts = np.stack([xx, yy, zz], axis=-1).reshape(-1, 3)
+    out = np.empty(len(pts), np.float32)
+    pad = (-len(pts)) % chunk
+    padded = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
+    fn = jax.jit(lambda p: udf_value(params, p, ucfg))
+    for start in range(0, len(padded), chunk):
+        vals = fn(jnp.asarray(padded[start : start + chunk]))
+        n_here = min(chunk, len(pts) - start)
+        if n_here > 0:
+            out[start : start + n_here] = np.asarray(vals)[:n_here]
+    return out.reshape(resolution, resolution, resolution)
+
+
+def extract_gradient_fields(
+    params, ucfg: UDFConfig, bound_min, bound_max, resolution: int,
+    chunk: int = 65536,
+):
+    """Dense UDF-gradient grid, (res, res, res, 3) numpy (analog of
+    udf_renderer_blending.py:39-66)."""
+    axes = [
+        np.linspace(bound_min[d], bound_max[d], resolution, dtype=np.float32)
+        for d in range(3)
+    ]
+    xx, yy, zz = np.meshgrid(*axes, indexing="ij")
+    pts = np.stack([xx, yy, zz], axis=-1).reshape(-1, 3)
+    out = np.empty((len(pts), 3), np.float32)
+    pad = (-len(pts)) % chunk
+    padded = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
+    fn = jax.jit(
+        lambda p: udf_value_and_gradient(params, p, ucfg)[1]
+    )
+    for start in range(0, len(padded), chunk):
+        grads = fn(jnp.asarray(padded[start : start + chunk]))
+        n_here = min(chunk, len(pts) - start)
+        if n_here > 0:
+            out[start : start + n_here] = np.asarray(grads)[:n_here]
+    return out.reshape(resolution, resolution, resolution, 3)
+
+
 def extract_pointcloud(
     params,
     ucfg: UDFConfig,

@@ -62,10 +62,9 @@ class RenderConfig:
                 "n_outside > 0 (NeRF++ background) is dead/broken in the "
                 "reference (udf_renderer_blending.py:582-591) and not supported."
             )
-        if self.sdf2alpha_type != "numerical":
-            raise NotImplementedError(
-                "only sdf2alpha_type='numerical' is implemented (all shipped "
-                "confs use it; 'theorical' is the reference's unused alternative)."
+        if self.sdf2alpha_type not in ("numerical", "theorical"):
+            raise ValueError(
+                f"unknown sdf2alpha_type {self.sdf2alpha_type!r}"
             )
 
     @classmethod
@@ -179,12 +178,13 @@ def render_core(
         vis_prob = jnp.clip(vis_prob, 0.0, 1.0)
 
         neg_abs_cos = -jnp.abs(true_cos)
-        alpha_plus = sampling.sdf2alpha_numerical(
-            udf, neg_abs_cos, dists, inv_s, cos_anneal_ratio
+        sdf2alpha = (
+            sampling.sdf2alpha_numerical
+            if cfg.sdf2alpha_type == "numerical"
+            else sampling.sdf2alpha_theorical
         )
-        alpha_minus = sampling.sdf2alpha_numerical(
-            -udf, neg_abs_cos, dists, inv_s, cos_anneal_ratio
-        )
+        alpha_plus = sdf2alpha(udf, neg_abs_cos, dists, inv_s, cos_anneal_ratio)
+        alpha_minus = sdf2alpha(-udf, neg_abs_cos, dists, inv_s, cos_anneal_ratio)
         alpha = alpha_plus * vis_prob + alpha_minus * (1.0 - vis_prob)
     else:
         vis_prob = None

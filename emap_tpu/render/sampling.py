@@ -49,23 +49,39 @@ def stratified_z_vals(
     return z_vals
 
 
-def sample_pdf_det(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int) -> jnp.ndarray:
-    """Deterministic inverse-CDF sampling (NeRF sample_pdf, det=True).
+def sample_pdf(
+    bins: jnp.ndarray,
+    weights: jnp.ndarray,
+    n_samples: int,
+    det: bool = True,
+    key: jax.Array | None = None,
+) -> jnp.ndarray:
+    """Inverse-CDF sampling (NeRF sample_pdf, reference :69-109).
 
     bins: (B, M) sorted sample positions; weights: (B, M-1).
-    Returns (B, n_samples). Matches reference :69-109 (det branch).
+    det=True (the only mode the pipeline uses) takes midpoints of a uniform
+    grid on [0,1]; det=False draws uniforms from `key`.
+    Returns (B, n_samples).
     """
     weights = weights + 1e-5
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
     cdf = jnp.cumsum(pdf, axis=-1)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (B, M)
 
-    u = jnp.linspace(
-        0.5 / n_samples, 1.0 - 0.5 / n_samples, n_samples, dtype=bins.dtype
-    )  # (n,)
+    if det:
+        u = jnp.linspace(
+            0.5 / n_samples, 1.0 - 0.5 / n_samples, n_samples, dtype=bins.dtype
+        )  # (n,)
+        u = jnp.broadcast_to(u[None, :], (bins.shape[0], n_samples))
+    else:
+        if key is None:
+            raise ValueError("stochastic sample_pdf needs a PRNG key")
+        u = jax.random.uniform(
+            key, (bins.shape[0], n_samples), dtype=bins.dtype
+        )
 
     # searchsorted right: count of cdf entries <= u. (B, n, M) compare is tiny.
-    inds = jnp.sum(cdf[:, None, :] <= u[None, :, None], axis=-1)  # (B, n)
+    inds = jnp.sum(cdf[:, None, :] <= u[:, :, None], axis=-1)  # (B, n)
     m = cdf.shape[-1]
     below = jnp.clip(inds - 1, 0, m - 1)
     above = jnp.clip(inds, 0, m - 1)
@@ -77,8 +93,13 @@ def sample_pdf_det(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int) -> j
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
-    t = (u[None, :] - cdf_below) / denom
+    t = (u - cdf_below) / denom
     return bins_below + t * (bins_above - bins_below)
+
+
+def sample_pdf_det(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int) -> jnp.ndarray:
+    """Deterministic inverse-CDF sampling (the pipeline's only mode)."""
+    return sample_pdf(bins, weights, n_samples, det=True)
 
 
 def udf2logistic(udf, inv_s, gamma=1.0, abs_cos_val=1.0):
@@ -87,19 +108,22 @@ def udf2logistic(udf, inv_s, gamma=1.0, abs_cos_val=1.0):
     return abs_cos_val * inv_s * e / (1.0 + e) ** 2 * gamma
 
 
+def _anneal_cos(true_cos, cos_anneal_ratio):
+    if cos_anneal_ratio is None:
+        return true_cos
+    return -(
+        jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - cos_anneal_ratio)
+        + jax.nn.relu(-true_cos) * cos_anneal_ratio
+    )
+
+
 def sdf2alpha_numerical(sdf, true_cos, dists, inv_s, cos_anneal_ratio=None):
     """NeuS section-integral alpha (reference :379-416, "numerical").
 
     cos_anneal_ratio=None reproduces the no-anneal call sites (upsampling);
     a traced scalar reproduces render_core's annealed path.
     """
-    if cos_anneal_ratio is None:
-        iter_cos = true_cos
-    else:
-        iter_cos = -(
-            jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - cos_anneal_ratio)
-            + jax.nn.relu(-true_cos) * cos_anneal_ratio
-        )
+    iter_cos = _anneal_cos(true_cos, cos_anneal_ratio)
     est_next = sdf + iter_cos * dists * 0.5
     est_prev = sdf - iter_cos * dists * 0.5
     prev_cdf = jax.nn.sigmoid(est_prev * inv_s)
@@ -107,6 +131,14 @@ def sdf2alpha_numerical(sdf, true_cos, dists, inv_s, cos_anneal_ratio=None):
     p = prev_cdf - next_cdf
     c = prev_cdf
     return jnp.clip((p + 1e-5) / (c + 1e-5), 0.0, 1.0)
+
+
+def sdf2alpha_theorical(sdf, true_cos, dists, inv_s, cos_anneal_ratio=None):
+    """The reference's unused "theorical" alternative (:412-414):
+    alpha = 1 - exp(-relu(|cos| * inv_s * (1 - sigmoid(sdf*inv_s))) * dist)."""
+    iter_cos = _anneal_cos(true_cos, cos_anneal_ratio)
+    raw = jnp.abs(iter_cos) * inv_s * (1.0 - jax.nn.sigmoid(sdf * inv_s))
+    return 1.0 - jnp.exp(-jax.nn.relu(raw) * dists)
 
 
 def _pad_dists(z_vals: jnp.ndarray, sample_dist: float) -> jnp.ndarray:
