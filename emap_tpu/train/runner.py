@@ -239,8 +239,22 @@ class Runner:
         profile_steps = self.conf.get_int("train.profile_steps", 0)
         profile_start = start_step + 5
 
+        # live progress with PSNR/loss in the description (the reference's
+        # tqdm usage, runner_udf.py:57-62); optional dependency
+        try:
+            from tqdm import tqdm
+
+            iterator = tqdm(
+                range(start_step, self.end_iter),
+                desc="PSNR: 0.00",
+                position=0,
+                leave=True,
+            )
+        except ImportError:  # pragma: no cover
+            iterator = range(start_step, self.end_iter)
+
         state = self.state
-        for it in range(start_step, self.end_iter):
+        for it in iterator:
             if profile_steps and it == profile_start:
                 jax.profiler.start_trace(
                     os.path.join(self.base_exp_dir, "profile")
@@ -288,6 +302,12 @@ class Runner:
                 {k: float(last[k]) for k in ("loss", "edge_loss", "psnr")},
                 step,
             )
+            if hasattr(iterator, "set_description"):
+                iterator.set_description(
+                    "PSNR: {:.2f}, Loss: {:.2f}".format(
+                        float(last["psnr"]), float(last["loss"])
+                    )
+                )
 
             if step % 500 == 0 and loss_window:
                 loss_avg = float(np.mean(loss_window))
