@@ -26,7 +26,6 @@ Falls back to interpret mode off-TPU so tests validate the same code path.
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -99,7 +98,7 @@ def _forward_in_kernel(x, weight_refs, cfg: UDFConfig, freqs,
     return h, inputs, sigmoids
 
 
-def _make_specs(cfg: UDFConfig, tile: int, n_tiles: int):
+def _make_specs(cfg: UDFConfig, tile: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -146,7 +145,7 @@ def _pallas_value(pts, cfg: UDFConfig, tile: int, interpret: bool, *flat_w):
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
         grid=(n_tiles,),
-        in_specs=_make_specs(cfg, tile, n_tiles),
+        in_specs=_make_specs(cfg, tile),
         out_specs=pl.BlockSpec(
             (tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
@@ -235,7 +234,7 @@ def _pallas_value_and_grad(pts, cfg: UDFConfig, tile: int, interpret: bool,
         kernel,
         out_shape=out_shape,
         grid=(n_tiles,),
-        in_specs=_make_specs(cfg, tile, n_tiles),
+        in_specs=_make_specs(cfg, tile),
         out_specs=out_specs,
         interpret=interpret,
     )(pts, *flat_w)
