@@ -45,7 +45,11 @@ from emap_tpu.render.renderer import RenderConfig, render
 from emap_tpu.train import schedules
 from emap_tpu.train.optim import adam_init
 from emap_tpu.train.state import TrainState, init_train_state
-from emap_tpu.train.step import TrainConfig, build_train_step
+from emap_tpu.train.step import (
+    TrainConfig,
+    build_packed_train_step,
+    unpack_metrics,
+)
 from emap_tpu.utils.guards import assert_finite_metrics
 from emap_tpu.utils.vis import visualize_depth
 
@@ -224,8 +228,12 @@ class Runner:
             self.writer = None
 
         if self._train_step is None:
-            self._train_step = build_train_step(
+            # packed metrics: one device buffer per step instead of ~25
+            # (keeping a 500-step logging window of tiny buffers measurably
+            # slows the loop through the tunneled runtime)
+            self._train_step = build_packed_train_step(
                 self.tcfg, self.rcfg, self.ucfg, self.scene.n_images,
+                mesh=self.mesh,
             )
 
         loss_window: list = []
@@ -282,8 +290,11 @@ class Runner:
                 continue
 
             # fetch pending metrics (device sync happens here only)
-            for s, m in pending:
-                loss_window.append(float(m["edge_loss"]))
+            last = None
+            for s, vec in pending:
+                m = unpack_metrics(vec)
+                last = m
+                loss_window.append(m["edge_loss"])
                 if self.writer is not None:
                     for key in (
                         "loss", "edge_loss", "gradient_error", "psnr",
@@ -292,10 +303,9 @@ class Runner:
                         self.writer.add_scalar(
                             f"Loss/{key}" if "loss" in key or "error" in key
                             else f"Sta/{key}",
-                            float(m[key]),
+                            m[key],
                             s,
                         )
-            last = pending[-1][1]
             pending = []
             # failure detection (replaces the reference's pdb NaN tripwires)
             assert_finite_metrics(
@@ -305,7 +315,7 @@ class Runner:
             if hasattr(iterator, "set_description"):
                 iterator.set_description(
                     "PSNR: {:.2f}, Loss: {:.2f}".format(
-                        float(last["psnr"]), float(last["loss"])
+                        last["psnr"], last["loss"]
                     )
                 )
 
@@ -322,17 +332,17 @@ class Runner:
                     "s_val=%.5f beta=%.5f gamma=%.3f lr=%.2e lr_geo=%.2e "
                     "w_sum=%.3f udf_min=%.5f rays/s=%.0f",
                     step,
-                    float(last["loss"]),
-                    float(last["edge_loss"]),
-                    float(last["gradient_error"]),
-                    float(last["psnr"]),
-                    float(last["variance"]),
-                    float(last["beta"]),
-                    float(last["gamma"]),
-                    float(last["lr"]),
-                    float(last["lr_geo"]),
-                    float(last["weight_sum"]),
-                    float(last["udf_min"]),
+                    last["loss"],
+                    last["edge_loss"],
+                    last["gradient_error"],
+                    last["psnr"],
+                    last["variance"],
+                    last["beta"],
+                    last["gamma"],
+                    last["lr"],
+                    last["lr_geo"],
+                    last["weight_sum"],
+                    last["udf_min"],
                     rays_per_sec,
                 )
 

@@ -114,19 +114,10 @@ def donation_supported() -> bool:
     return True
 
 
-def build_train_step(tcfg: TrainConfig, rcfg: RenderConfig, ucfg: UDFConfig,
-                     n_images: int, donate: bool | None = None, mesh=None,
-                     axis: str = "data"):
-    """Returns train_step(state, pool) -> (new_state, metrics); jitted.
-
-    With `mesh`, the sampled ray batch is sharding-constrained along `axis`
-    (params replicate, XLA partitions render/backward over rays and inserts
-    the gradient psum over ICI) -- same program, 1 chip or N.
-
-    donate=None enables state-buffer donation where the backend supports it.
-    """
-    if donate is None:
-        donate = donation_supported()
+def _build_train_step_fn(tcfg: TrainConfig, rcfg: RenderConfig,
+                         ucfg: UDFConfig, n_images: int, mesh=None,
+                         axis: str = "data"):
+    """The raw (unjitted) step body; see build_train_step."""
     perm_key = jax.random.key(tcfg.seed + 7919)
     if mesh is not None:
         assert tcfg.batch_size % mesh.shape[axis] == 0, (
@@ -256,5 +247,59 @@ def build_train_step(tcfg: TrainConfig, rcfg: RenderConfig, ucfg: UDFConfig,
         )
         return new_state, metrics
 
+    return train_step
+
+
+def build_train_step(tcfg: TrainConfig, rcfg: RenderConfig, ucfg: UDFConfig,
+                     n_images: int, donate: bool | None = None, mesh=None,
+                     axis: str = "data"):
+    """Returns jitted train_step(state, pool) -> (new_state, metrics dict).
+
+    With `mesh`, the sampled ray batch is sharding-constrained along `axis`
+    (params replicate, XLA partitions render/backward over rays and inserts
+    the gradient psum over ICI) -- same program, 1 chip or N.
+
+    donate=None enables state-buffer donation where the backend supports it.
+    """
+    if donate is None:
+        donate = donation_supported()
+    fn = _build_train_step_fn(tcfg, rcfg, ucfg, n_images, mesh=mesh, axis=axis)
     donate_argnums = (0,) if donate else ()
-    return jax.jit(train_step, donate_argnums=donate_argnums)
+    return jax.jit(fn, donate_argnums=donate_argnums)
+
+
+METRIC_KEYS = (
+    "loss", "edge_loss", "psnr", "gradient_error",
+    "gradient_error_near_surface", "variance", "beta", "gamma", "udf_min",
+    "udf_mean", "weight_sum", "weight_sum_fg_bg", "lr", "lr_geo",
+)
+
+
+def build_packed_train_step(tcfg, rcfg, ucfg, n_images, donate=None,
+                            mesh=None, axis: str = "data"):
+    """Train step returning metrics as ONE (len(METRIC_KEYS),) device vector.
+
+    The dict-returning step materializes ~25 tiny device buffers per
+    iteration; retaining a logging window of those through the tunneled
+    runtime measurably slows the loop. The packed variant keeps one buffer
+    per step; unpack on host with `unpack_metrics`.
+    """
+    base = _build_train_step_fn(tcfg, rcfg, ucfg, n_images, mesh=mesh,
+                                axis=axis)
+
+    def packed(state, pool):
+        new_state, m = base(state, pool)
+        vec = jnp.stack([jnp.asarray(m[k], jnp.float32) for k in METRIC_KEYS])
+        return new_state, vec
+
+    if donate is None:
+        donate = donation_supported()
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(packed, donate_argnums=donate_argnums)
+
+
+def unpack_metrics(vec) -> dict:
+    import numpy as np
+
+    arr = np.asarray(vec)
+    return {k: float(arr[i]) for i, k in enumerate(METRIC_KEYS)}
