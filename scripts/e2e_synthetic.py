@@ -24,6 +24,12 @@ import numpy as np  # noqa: E402
 
 
 def main() -> dict:
+    import logging
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="[%(filename)s:%(lineno)s] %(message)s",
+    )
     from emap_tpu import config
     from emap_tpu.data.synthetic import (
         make_synthetic_scene,
