@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Micro-benchmark: Pallas fused PE+MLP query kernels vs plain XLA, on the
+flagship 8x256 UDF field (extraction workload shapes).
+
+Prints one JSON line per variant with points/sec.
+"""
+
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from emap_tpu.fields import (
+        UDFConfig,
+        init_udf_params,
+        udf_value,
+        udf_value_and_gradient,
+    )
+    from emap_tpu.kernels import pallas_udf_value, pallas_udf_value_and_grad
+
+    cfg = UDFConfig()
+    params = init_udf_params(jax.random.key(0), cfg)
+    n = int(1 << 18)  # 262144 points per call (extraction chunk scale)
+    pts = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, size=(n, 3)), jnp.float32
+    )
+
+    xla_value = jax.jit(lambda p: udf_value(params, p, cfg))
+    xla_vg = jax.jit(lambda p: udf_value_and_gradient(params, p, cfg))
+    pl_value = functools.partial(pallas_udf_value, params, cfg=cfg)
+    pl_vg = functools.partial(pallas_udf_value_and_grad, params, cfg=cfg)
+
+    def timeit(name, fn, iters=20):
+        out = fn(pts)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(pts)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        print(
+            json.dumps(
+                {
+                    "metric": name,
+                    "value": round(n / dt / 1e6, 2),
+                    "unit": "Mpoints/s",
+                    "ms_per_call": round(dt * 1e3, 2),
+                }
+            )
+        )
+        return n / dt
+
+    v_x = timeit("xla_value", lambda p: xla_value(p))
+    v_p = timeit("pallas_value", lambda p: pl_value(pts=p))
+    g_x = timeit("xla_value_and_grad", lambda p: xla_vg(p))
+    g_p = timeit("pallas_value_and_grad", lambda p: pl_vg(pts=p))
+    print(
+        json.dumps(
+            {
+                "metric": "pallas_speedup",
+                "value_fwd": round(v_p / v_x, 2),
+                "value_grad": round(g_p / g_x, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
