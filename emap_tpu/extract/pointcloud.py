@@ -99,7 +99,7 @@ def _point_batch_features(
 
 def _run_point_batches(
     params, ucfg, pts_np: np.ndarray, key, sampling_n, sampling_delta,
-    with_linedir: bool, batch: int,
+    with_linedir: bool, batch: int, use_pallas: bool = False,
 ):
     """Host loop over fixed-size padded device batches."""
     m = len(pts_np)
@@ -118,7 +118,7 @@ def _run_point_batches(
         chunk_pts = jnp.asarray(padded[b * batch : (b + 1) * batch])
         u, nv, ld = _point_batch_features(
             params, chunk_pts, kb, ucfg, sampling_n, sampling_delta,
-            with_linedir,
+            with_linedir, use_pallas,
         )
         udf_out.append(np.asarray(u))
         nrm_out.append(np.asarray(nv))
@@ -196,9 +196,13 @@ def extract_pointcloud(
     seed: int = 42,
     grid_chunk: int = 65536,
     point_batch: int = 4096,
+    use_pallas: bool = False,
 ):
     """Edge point cloud from the UDF (reference get_pointcloud_from_udf
     :212-293). Returns (points (M,3), line_directions (M,3)) numpy arrays.
+
+    use_pallas routes field queries through the fused Pallas kernels
+    (experimental; currently slower than XLA -- see kernels/mlp_query.py).
     """
     key = jax.random.key(seed)
     N = resolution
@@ -208,7 +212,8 @@ def extract_pointcloud(
     # --- phase 1: dense UDF over the grid (device, fixed-shape chunks) ---
     udf_vals = np.empty((total,), np.float32)
     for start in range(0, total, chunk):
-        vals = _grid_udf_chunk(params, jnp.int32(start), chunk, N, ucfg)
+        vals = _grid_udf_chunk(params, jnp.int32(start), chunk, N, ucfg,
+                               use_pallas)
         n_here = min(chunk, total - start)
         udf_vals[start : start + n_here] = np.asarray(vals)[:n_here]
 
@@ -230,7 +235,7 @@ def extract_pointcloud(
     want_dirs_now = is_linedirection and not (is_pointshift and iters > 0)
     _, normals, line_dirs = _run_point_batches(
         params, ucfg, xyz, jax.random.fold_in(key, 0), sampling_N,
-        sampling_delta, want_dirs_now, point_batch,
+        sampling_delta, want_dirs_now, point_batch, use_pallas,
     )
 
     # --- phase 3: point shift toward the zero set (reference :271-288) ---
@@ -241,7 +246,7 @@ def extract_pointcloud(
             df, normals, line_dirs = _run_point_batches(
                 params, ucfg, xyz, jax.random.fold_in(key, it + 1),
                 sampling_N, sampling_delta, is_linedirection and last,
-                point_batch,
+                point_batch, use_pallas,
             )
             keep = df <= udf_threshold
             xyz, df, normals, line_dirs = (

@@ -1,11 +1,18 @@
 """Pallas TPU kernel: fused positional-encoding + UDF-MLP query.
 
 The UDF field query chain is PE -> 9 matmuls with softplus -> abs head.
-Under plain XLA every layer's (N, 256) activation round-trips HBM between
-matmuls (~16 KB/point), which is ~half the inference time at f32 on v5e.
 This kernel keeps the whole chain in VMEM per point-tile: one HBM read of the
 3-coordinate inputs, one write of the outputs, weights resident in VMEM
 (~2 MB for the flagship 8x256 net).
+
+STATUS (measured on v5e, scripts/bench_kernels.py): the current point-major
+layout ((tile, 3)/(tile, 63) blocks with lane-unaligned feature dims and
+in-kernel transposes in the backward) is SLOWER than XLA's own lowering
+(0.11x fwd, 0.34x fwd+grad) -- XLA fuses this chain well at these shapes.
+The kernels are therefore OFF by default (`use_pallas=False` throughout) and
+kept as a correctness-validated base for a feature-major (lane = point)
+redesign. Do not enable in production paths until the micro-benchmark shows
+a win.
 
 Two entry points:
 * `pallas_udf_value(params, pts, cfg)`          -> (N,) udf
