@@ -9,8 +9,10 @@ The env vars MUST be set before jax is imported anywhere.
 
 import os
 
-# HARD override: the shell env pins JAX_PLATFORMS=axon (the TPU tunnel);
-# tests must run on local CPU for determinism and speed.
+# HARD override: the shell env pins JAX_PLATFORMS=axon (the TPU tunnel) and
+# the axon sitecustomize sets jax.config.jax_platforms="axon,cpu" at
+# interpreter start -- the env var alone is IGNORED after that. The config
+# must be updated explicitly (before any backend initialization).
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -21,6 +23,10 @@ if "xla_force_host_platform_device_count" not in flags:
 # persistent compilation cache: repeat test runs skip XLA recompilation
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_emap_tpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
