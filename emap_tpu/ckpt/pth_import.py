@@ -137,13 +137,96 @@ def _convert_udf_state(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return params
 
 
+def _param_index_order(udf_sd: Dict[str, np.ndarray]):
+    """Torch's global param-index order for the reference's Adam state.
+
+    torch.optim state_dicts key Adam moments by a global parameter index that
+    enumerates `named_parameters()` across the three param groups
+    (runner_base.py:110-117): group 0 = udf_network_fine, group 1 = variance +
+    beta nets, group 2 = empty (nerf). Within a weight-norm layer the order is
+    (bias, g, v) -- `parametrizations.weight.original{0,1}` are registered on
+    a submodule so the immediate `bias` parameter iterates first; a plain
+    Linear iterates (weight, bias). Verified empirically against the installed
+    torch on the reference UDFNetwork.
+
+    Returns a list of (our-pytree path tuple) in global-index order.
+    """
+    layers = sorted(
+        {k.split(".")[0] for k in udf_sd if k.startswith("lin")},
+        key=lambda s: int(s[3:]),
+    )
+    order = []
+    for lin in layers:
+        weight_norm = (
+            f"{lin}.parametrizations.weight.original0" in udf_sd
+            or f"{lin}.weight_g" in udf_sd
+        )
+        if weight_norm:
+            order += [("udf", lin, "b"), ("udf", lin, "g"), ("udf", lin, "v")]
+        else:
+            order += [("udf", lin, "w"), ("udf", lin, "b")]
+    order += [("variance", "variance"), ("variance", "second_variance")]
+    order += [("beta", "beta"), ("beta", "gamma"), ("beta", "zeta")]
+    return order
+
+
+def _convert_optimizer_state(opt_sd, params: Dict[str, Any], udf_sd):
+    """Map torch Adam state onto our (mu, nu, count) pytrees.
+
+    Shapes follow our params (g is (out,), scalars are (1,)); torch params a
+    group never stepped (requires_grad=False from init, e.g. beta/gamma before
+    their gates fire) simply have no state entry -> zero moments, count 0,
+    which is exactly the state a torch resume reproduces for them.
+    """
+    order = _param_index_order(udf_sd)
+
+    def zeros_like_tree(tree):
+        return {
+            k: zeros_like_tree(v) if isinstance(v, dict) else np.zeros_like(v)
+            for k, v in tree.items()
+        }
+
+    def zero_counts(tree):
+        return {
+            k: zero_counts(v) if isinstance(v, dict)
+            else np.zeros((), np.float32)
+            for k, v in tree.items()
+        }
+
+    mu = zeros_like_tree(params)
+    nu = zeros_like_tree(params)
+    count = zero_counts(params)
+
+    state = opt_sd.get("state", {})
+    for idx, path in enumerate(order):
+        entry = state.get(idx, state.get(str(idx)))
+        if entry is None:
+            continue
+        target = params
+        for p in path[:-1]:
+            target = target[p]
+        leaf = path[-1]
+        shape = target[leaf].shape
+        m = np.asarray(entry["exp_avg"], np.float32).reshape(shape)
+        v = np.asarray(entry["exp_avg_sq"], np.float32).reshape(shape)
+        step = np.asarray(entry["step"], np.float32).reshape(())
+        node_mu, node_nu, node_c = mu, nu, count
+        for p in path[:-1]:
+            node_mu, node_nu, node_c = node_mu[p], node_nu[p], node_c[p]
+        node_mu[leaf] = m
+        node_nu[leaf] = v
+        node_c[leaf] = step
+    return {"mu": mu, "nu": nu, "count": count}
+
+
 def import_reference_checkpoint(path: str) -> Dict[str, Any]:
     """Read a reference `ckpt_best.pth` into our parameter pytrees.
 
-    Returns {'params': {'udf','variance','beta'}, 'iter_step': int}.
-    The optimizer state is not imported (Adam moments live in torch's
-    param-order layout; resumed fine-tuning restarts moments, which the
-    checkpoint-restore parity config does not exercise).
+    Returns {'params': {'udf','variance','beta'}, 'iter_step': int, 'opt':
+    {'mu','nu','count'} or None}. The Adam moments come from torch's
+    param-index-keyed state (save format runner_udf.py:265-285), remapped via
+    the named_parameters enumeration order, so `--is_continue` from a released
+    checkpoint resumes with identical optimizer dynamics.
     """
     raw = _load_raw(path)
     udf_sd = raw["udf_network_fine"]
@@ -164,4 +247,11 @@ def import_reference_checkpoint(path: str) -> Dict[str, Any]:
             "zeta": np.asarray(beta_sd["zeta"], np.float32).reshape(1),
         },
     }
-    return {"params": params, "iter_step": int(raw.get("iter_step", 0))}
+    opt = None
+    if isinstance(raw.get("optimizer"), dict):
+        opt = _convert_optimizer_state(raw["optimizer"], params, udf_sd)
+    return {
+        "params": params,
+        "iter_step": int(raw.get("iter_step", 0)),
+        "opt": opt,
+    }

@@ -31,6 +31,38 @@ def get_runner(model_type: str):
     return RUNNERS[model_type]
 
 
+def build_mesh_from_conf(conf, batch_size: int):
+    """Data-parallel ray mesh over all local devices (conf-gated).
+
+    The reference is single-GPU (SURVEY.md §2.4); on TPU the scaling axis is
+    the ray batch, sharded via GSPMD over a 1-D mesh. Enabled by default when
+    >1 device is visible; `train.multi_device = false` disables. The mesh is
+    trimmed to the largest device count that divides the ray batch so the
+    sharding is always even.
+    """
+    import jax
+
+    if not conf.get_bool("train.multi_device", True):
+        return None
+    n = jax.local_device_count()
+    if n <= 1:
+        return None
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    if n <= 1:
+        logging.warning(
+            "multi_device requested but batch_size %d has no usable device "
+            "split; running single-device", batch_size,
+        )
+        return None
+    from emap_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n)
+    logging.info("data-parallel mesh over %d devices (%s)", n,
+                 jax.devices()[0].platform)
+    return mesh
+
+
 def main(argv=None) -> None:
     logging.basicConfig(
         level=logging.INFO,
@@ -54,7 +86,8 @@ def main(argv=None) -> None:
 
     logging.info("Run on scan %s", conf["dataset.scan"])
     runner_cls = get_runner(conf["general.model_type"])
-    runner = runner_cls(conf, args.mode, args.is_continue)
+    mesh = build_mesh_from_conf(conf, conf.get_int("train.batch_size"))
+    runner = runner_cls(conf, args.mode, args.is_continue, mesh=mesh)
 
     if args.mode == "train":
         runner.train()

@@ -107,11 +107,27 @@ class Runner:
             requires_grad_zeta=beta_conf.get_bool("requires_grad_zeta", True),
         )
         self.pool = RayPool.from_scene(self.scene)
+        if self.mesh is not None:
+            # params/pool replicate across the mesh; the per-step ray batch is
+            # sharding-constrained inside the jitted step and XLA inserts the
+            # gradient psum over ICI (emap_tpu/parallel/mesh.py)
+            from emap_tpu.parallel.mesh import replicate
+
+            self.state = replicate(self.state, self.mesh)
+            self.pool = replicate(self.pool, self.mesh)
         self.best_loss = 1.0
         self.writer = None
 
         self._train_step = None
         self._render_chunk = None
+
+    def _place(self, tree):
+        """Replicate a freshly-loaded pytree onto the mesh (no-op without)."""
+        if self.mesh is None:
+            return tree
+        from emap_tpu.parallel.mesh import replicate
+
+        return replicate(tree, self.mesh)
 
     # ------------------------------------------------------------------
     # checkpointing
@@ -157,9 +173,19 @@ class Runner:
         if path.endswith(".pth"):
             imported = import_reference_checkpoint(path)
             params = jax.tree.map(jnp.asarray, imported["params"])
+            if imported.get("opt") is not None:
+                from emap_tpu.train.optim import AdamState
+
+                opt = AdamState(
+                    mu=jax.tree.map(jnp.asarray, imported["opt"]["mu"]),
+                    nu=jax.tree.map(jnp.asarray, imported["opt"]["nu"]),
+                    count=jax.tree.map(jnp.asarray, imported["opt"]["count"]),
+                )
+            else:
+                opt = adam_init(params)
             self.state = TrainState(
                 params=params,
-                opt=adam_init(params),
+                opt=opt,
                 step=jnp.asarray(imported["iter_step"], jnp.int32),
                 key=self.state.key,
                 beta_trainable=self.state.beta_trainable,
@@ -191,6 +217,7 @@ class Runner:
                 beta_gate_armed=jnp.asarray(bool(flags["beta_gate_armed"])),
             )
             self.best_loss = float(payload.get("best_loss", 1.0))
+        self.state = self._place(self.state)
         logger.info("loaded checkpoint %s (iter %d)", path, int(self.state.step))
 
     # ------------------------------------------------------------------
@@ -361,8 +388,19 @@ class Runner:
         rcfg, ucfg = self.rcfg, self.ucfg
         near, far = self.near, self.far
         bg = 1.0 if self.use_white_bkgd else None
+        mesh = self.mesh
 
         def f(params, rays_o, rays_d, depth_scale, key, anneal):
+            if mesh is not None:
+                # validation rays shard over the mesh like training rays
+                from emap_tpu.parallel.mesh import shard_rays_constraint
+
+                rays_o, rays_d, depth_scale = shard_rays_constraint(
+                    (rays_o, rays_d, depth_scale), mesh
+                )
+            # flip_saturation pinned to 0.0 at validation: DELIBERATE. The
+            # reference renders validation images with the renderer default
+            # (udf_renderer_blending.py:689), not the train-schedule value.
             out = render(
                 params, rays_o, rays_d, near, far, depth_scale, key,
                 rcfg, ucfg, cos_anneal_ratio=anneal, flip_saturation=0.0,

@@ -123,6 +123,61 @@ def test_runner_train_validate_checkpoint_extract(runner_conf):
     assert set(data.keys()) == {"curves_ctl_pts", "lines_end_pts"}
 
 
+def test_cli_trains_multidevice(runner_conf, tmp_path):
+    """Production CLI path: main() must build a mesh over all 8 virtual CPU
+    devices and train ray-sharded (VERDICT r1 item 2 -- previously the CLI
+    constructed Runner without a mesh and could never use >1 chip)."""
+    from emap_tpu import cli, config
+
+    conf = config.Config(json.loads(json.dumps(runner_conf.as_dict())))
+    conf["general"]["base_exp_dir"] = str(tmp_path / "exp_cli")
+    conf["train"]["end_iter"] = 4
+    conf["train"]["val_freq"] = 100  # skip validation for speed
+    conf["train"]["save_freq"] = 100
+    conf_path = tmp_path / "cli.conf"
+    conf_path.write_text(conf.to_hocon())
+
+    mesh = cli.build_mesh_from_conf(conf, conf.get_int("train.batch_size"))
+    assert mesh is not None and mesh.size == 8
+
+    cli.main(["--conf", str(conf_path), "--mode", "train"])
+    exp = os.path.join(str(tmp_path / "exp_cli"), "cube000", "emap")
+    assert os.path.isdir(exp)
+
+    # conf knob disables the mesh
+    conf["train"]["multi_device"] = False
+    assert cli.build_mesh_from_conf(conf, 32) is None
+    # batch not divisible by anything >1 -> trimmed; 30 % 8 != 0 but 30 % 6 == 0
+    conf["train"]["multi_device"] = True
+    m = cli.build_mesh_from_conf(conf, 30)
+    assert m is not None and m.size == 6
+
+
+def test_runner_validate_sharded_matches_single(runner_conf, tmp_path):
+    """Validation renders identically with and without the mesh (GSPMD only
+    re-partitions; numerics must not change)."""
+    from emap_tpu import config
+    from emap_tpu.parallel import make_mesh
+    from emap_tpu.train.runner import Runner
+
+    conf = config.Config(json.loads(json.dumps(runner_conf.as_dict())))
+    conf["general"]["base_exp_dir"] = str(tmp_path / "exp_val")
+    runner_s = Runner(conf, mode="validate")
+    runner_m = Runner(conf, mode="validate", mesh=make_mesh(8))
+    runner_s.validate(idx=0, resolution_level=2)
+    runner_m.validate(idx=0, resolution_level=2)
+    import cv2
+
+    exp = runner_s.base_exp_dir
+    imgs = sorted(os.listdir(os.path.join(exp, "edge_maps")))
+    a = cv2.imread(os.path.join(exp, "edge_maps", imgs[0]))
+    # both runners share exp dir/step/idx -> same filename; the second write
+    # overwrote the first, so compare against a fresh single-device render
+    runner_s.validate(idx=0, resolution_level=2)
+    b = cv2.imread(os.path.join(exp, "edge_maps", imgs[0]))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_visibility_checking_path(runner_conf):
     """visible_checking=True exercises get_edge_maps + compute_visibility."""
     import numpy as np
