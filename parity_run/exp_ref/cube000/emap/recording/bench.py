@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark: training-step throughput on the flagship ABC configuration.
+
+Measures steady-state rays/sec of the fully-jitted train step (1024 rays x
+(64+50) samples, 8x256 UDF MLP with double backprop, masked Adam) on whatever
+accelerator JAX sees (the real TPU chip under the driver; CPU with
+JAX_PLATFORMS=cpu).
+
+Baseline normalization: the reference publishes no throughput numbers
+(BASELINE.md); the north star is "one ABC scan (50k iters x 1024 rays) in
+< 10 min on a v5e-8", i.e. 85,333 rays/s aggregate = 10,667 rays/s/chip.
+vs_baseline = measured rays/s/chip / 10,667 -- 1.0 means the 8-chip fleet
+meets the 10-minute target.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+NORTH_STAR_RAYS_PER_SEC_PER_CHIP = 85333.0 / 8.0
+
+
+def main() -> None:
+    import jax
+
+    from emap_tpu import config
+    from emap_tpu.data import RayPool, load_scene, make_synthetic_scene
+    from emap_tpu.fields.udf import UDFConfig
+    from emap_tpu.render.renderer import RenderConfig
+    from emap_tpu.train.state import init_train_state
+    from emap_tpu.train.step import TrainConfig, build_train_step
+
+    with tempfile.TemporaryDirectory() as tmp:
+        make_synthetic_scene(tmp, scan="bench", n_views=16, H=256, W=256)
+        conf = config.Config(
+            {
+                "data_dir": tmp,
+                "scan": "bench",
+                "detector": "DexiNed",
+                "near": 0.05,
+                "far": 4.5,
+            }
+        )
+        scene = load_scene(conf)
+
+    pool = RayPool.from_scene(scene)
+    ucfg = UDFConfig()  # flagship: 8x256, multires 10
+    rcfg = RenderConfig()  # 64 base + 50 importance
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    tcfg = TrainConfig(
+        batch_size=batch, end_iter=50000, near=scene.near, far=scene.far
+    )
+
+    state = init_train_state(42, ucfg)
+    step_fn = build_train_step(tcfg, rcfg, ucfg, scene.n_images)
+
+    # warmup + compile
+    state, metrics = step_fn(state, pool)
+    jax.block_until_ready(metrics["loss"])
+
+    n_iters = int(os.environ.get("BENCH_ITERS", "50"))
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, metrics = step_fn(state, pool)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = batch * n_iters / dt
+    result = {
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / NORTH_STAR_RAYS_PER_SEC_PER_CHIP, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,351 @@
+#!/usr/bin/env python
+"""End-to-end quality parity: torch reference vs this rebuild, same scene.
+
+Trains BOTH pipelines on the identical synthetic cube-wireframe scene with the
+identical shortened ABC schedule, then runs the SAME extraction + eval
+protocol (ours) on each trained field and prints an F-score parity table.
+This supplies the reference-side number that round 1 lacked (VERDICT item 5);
+quality parity = |F@5mm(ref) - F@5mm(ours)| small under the unchanged
+eval_ABC protocol.
+
+The reference runs on CPU torch (no GPU here): its hard-coded
+`torch.device("cuda")` (runner_base.py:27) is shimmed to cpu, and its
+unavailable imports (open3d, icecream, pyhocon) are stubbed -- the training
+path never actually uses them.
+
+Usage:
+    python scripts/parity_reference.py ref    # train torch reference -> .pth
+    python scripts/parity_reference.py ours   # train our pipeline -> .npz
+    python scripts/parity_reference.py eval   # extract+score both, print table
+
+The default net/sampling is scaled down (64x4 MLP, 32+40 samples) because the
+torch reference manages only ~2.6 rays/s at the full ABC config on this
+1-core CPU host (~97 s/iter, i.e. days for any schedule); both sides use the
+IDENTICAL scaled config, so the F-score delta still measures training parity.
+
+Env knobs: PARITY_OUT (workdir, default ./parity_run), PARITY_STEPS (3000),
+PARITY_BATCH (256), PARITY_RES (96), PARITY_IMG (128), PARITY_VIEWS (24),
+PARITY_HIDDEN (64), PARITY_LAYERS (4), PARITY_MULTIRES (6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import types
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+OUT = os.environ.get("PARITY_OUT", os.path.abspath("./parity_run"))
+STEPS = int(os.environ.get("PARITY_STEPS", "3000"))
+BATCH = int(os.environ.get("PARITY_BATCH", "256"))
+RES = int(os.environ.get("PARITY_RES", "96"))
+IMG = int(os.environ.get("PARITY_IMG", "128"))
+VIEWS = int(os.environ.get("PARITY_VIEWS", "24"))
+THRESH = float(os.environ.get("PARITY_THRESH", "0.03"))
+HIDDEN = int(os.environ.get("PARITY_HIDDEN", "64"))
+LAYERS = int(os.environ.get("PARITY_LAYERS", "4"))
+MULTIRES = int(os.environ.get("PARITY_MULTIRES", "6"))
+
+
+def shared_conf_dict(side: str) -> dict:
+    """The identical schedule for both pipelines (shortened ABC.conf)."""
+    return {
+        "general": {
+            "base_exp_dir": os.path.join(OUT, f"exp_{side}"),
+            "expname": "emap",
+            "model_type": "udf",
+            "recording": [],
+        },
+        "dataset": {
+            "data_dir": os.path.join(OUT, "data"),
+            "scan": "cube000",
+            "dataset_name": "NEF",
+            "detector": "DexiNed",
+            "near": 0.05,
+            "far": 4.5,
+        },
+        "train": {
+            "latest_model_name": "ckpt_best.npz",
+            "importance_sample": True,
+            "learning_rate": 5e-4,
+            "learning_rate_geo": 1e-4,
+            "learning_rate_alpha": 0.05,
+            "end_iter": STEPS,
+            "batch_size": BATCH,
+            "validate_resolution_level": 2,
+            "warm_up_end": min(1000, STEPS // 10),
+            "anneal_end": min(10000, STEPS // 2),
+            "use_white_bkgd": False,
+            # skip mid-run checkpoints/validation: final weights are saved
+            # explicitly after train() on both sides
+            "save_freq": 10 * STEPS,
+            "val_freq": 10 * STEPS,
+            "report_freq": 500,
+            "igr_weight": 0.1,
+            "igr_ns_weight": 0.0,
+        },
+        "edge_loss": {"edge_weight": 1.0, "loss_type": "mse"},
+        "model": {
+            "udf_network": {
+                "d_out": 1, "d_in": 3, "d_hidden": HIDDEN,
+                "n_layers": LAYERS, "skip_in": [LAYERS // 2],
+                "multires": MULTIRES, "bias": 0.5, "scale": 1.0,
+                "geometric_init": True, "weight_norm": True,
+                "udf_type": "abs",
+            },
+            "variance_network": {"init_val": 0.3},
+            "beta_network": {
+                "init_var_beta": 0.5, "init_var_gamma": 0.3,
+                "init_var_zeta": 0.3, "beta_min": 0.00005,
+                "requires_grad_beta": True, "requires_grad_gamma": True,
+                "requires_grad_zeta": False,
+            },
+            "udf_renderer": {
+                "n_samples": 32, "n_importance": 40, "n_outside": 0,
+                "up_sample_steps": 4, "perturb": 1.0,
+                "sdf2alpha_type": "numerical",
+                "upsampling_type": "classical",
+                "use_unbias_render": True,
+            },
+        },
+        "edge_extraction": {
+            "is_pointshift": True, "iters": 2, "is_linedirection": True,
+            "udf_threshold": THRESH, "resolution": RES,
+            "sampling_delta": 0.005, "sampling_N": 50,
+            "visible_checking": False,
+        },
+    }
+
+
+def ensure_scene() -> None:
+    from emap_tpu.data.synthetic import make_synthetic_scene
+
+    scan_dir = os.path.join(OUT, "data", "cube000")
+    if not os.path.isfile(os.path.join(scan_dir, "meta_data.json")):
+        make_synthetic_scene(
+            os.path.join(OUT, "data"), scan="cube000", n_views=VIEWS,
+            H=IMG, W=IMG,
+        )
+
+
+# ---------------------------------------------------------------------------
+# reference side
+# ---------------------------------------------------------------------------
+def _stub_missing_reference_deps() -> None:
+    """Stub modules the reference imports but never touches while training."""
+
+    class _AnyAttr(types.ModuleType):
+        def __getattr__(self, name):
+            if name.startswith("__"):  # dunders: behave like a real module
+                raise AttributeError(name)
+
+            def _missing(*a, **k):
+                raise RuntimeError(
+                    f"stubbed module attribute used at runtime: {name}"
+                )
+
+            return _missing
+
+    # the reference's vendored utils (src/utils/*, dead code per SURVEY §1)
+    # import a pile of packages unavailable here; none is touched on the
+    # training path, so any-attr stubs suffice. A stubbed attribute that IS
+    # called raises loudly rather than mis-computing.
+    for name in (
+        "open3d", "torch_optimizer", "flow_vis", "trimesh",
+        "torchvision", "torchvision.transforms",
+        "skimage", "skimage.measure",
+        "matplotlib", "matplotlib.pyplot", "point_cloud_utils",
+    ):
+        if name not in sys.modules:
+            sys.modules[name] = _AnyAttr(name)
+    if "icecream" not in sys.modules:
+        ic_mod = types.ModuleType("icecream")
+        ic_mod.ic = lambda *a, **k: a[0] if len(a) == 1 else a
+        sys.modules["icecream"] = ic_mod
+    if "pyhocon" not in sys.modules:
+        hocon = types.ModuleType("pyhocon")
+
+        class HOCONConverter:
+            @staticmethod
+            def to_hocon(conf):
+                return conf.to_hocon()
+
+        class ConfigFactory:
+            @staticmethod
+            def parse_string(text):
+                from emap_tpu import config
+
+                return config.parse_string(text)
+
+        hocon.HOCONConverter = HOCONConverter
+        hocon.ConfigFactory = ConfigFactory
+        sys.modules["pyhocon"] = hocon
+
+
+def run_reference() -> None:
+    import numpy as np
+    import torch
+
+    ensure_scene()
+    _stub_missing_reference_deps()
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+
+    from emap_tpu import config
+
+    # reference main.py seed protocol (main.py:10-18)
+    torch.manual_seed(42)
+    np.random.seed(42)
+    import random
+
+    random.seed(42)
+
+    from src.runner.runner_udf import Runner_UDF
+
+    conf = config.Config(shared_conf_dict("ref"))
+    t0 = time.time()
+    # the reference pins its device to cuda (runner_base.py:27); remap
+    # torch.device to cpu around the constructor only -- patching it globally
+    # breaks torch internals (`str | torch.device` annotations in dynamo),
+    # and no torch.device() call happens on the train path after __init__.
+    import torch._dynamo  # noqa: F401  (optimizer ctor lazily imports it;
+    # must complete while torch.device is still the real type)
+
+    _orig_device = torch.device
+
+    def _cpu_device(*a, **k):
+        a = tuple(
+            "cpu" if isinstance(x, str) and "cuda" in x else x for x in a
+        )
+        return _orig_device(*a, **k)
+
+    torch.device = _cpu_device
+    try:
+        runner = Runner_UDF(conf, "train", False, None)
+    finally:
+        torch.device = _orig_device
+    runner.train()
+    wall = time.time() - t0
+
+    ckpt = {
+        "udf_network_fine": runner.udf_network_fine.state_dict(),
+        "variance_network_fine": runner.variance_network_fine.state_dict(),
+        "beta_network": runner.beta_network.state_dict(),
+        "optimizer": runner.optimizer.state_dict(),
+        "iter_step": runner.iter_step,
+    }
+    path = os.path.join(OUT, "ref_final.pth")
+    torch.save(ckpt, path)
+    print(json.dumps({
+        "side": "ref", "steps": STEPS, "batch": BATCH,
+        "wall_clock_s": round(wall, 1),
+        "rays_per_s": round(STEPS * BATCH / wall, 1),
+        "ckpt": path,
+    }))
+
+
+# ---------------------------------------------------------------------------
+# our side
+# ---------------------------------------------------------------------------
+def run_ours() -> None:
+    from emap_tpu import config
+    from emap_tpu.train.runner import Runner
+
+    ensure_scene()
+    conf = config.Config(shared_conf_dict("ours"))
+    t0 = time.time()
+    runner = Runner(conf, mode="train")
+    runner.train()
+    wall = time.time() - t0
+    runner.save_checkpoint(0.0)
+    print(json.dumps({
+        "side": "ours", "steps": STEPS, "batch": BATCH,
+        "wall_clock_s": round(wall, 1),
+        "rays_per_s": round(STEPS * BATCH / wall, 1),
+        "ckpt": os.path.join(runner.base_exp_dir, "checkpoints",
+                             "ckpt_best.npz"),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# shared extraction + eval
+# ---------------------------------------------------------------------------
+def score_side(side: str, ckpt_name: str) -> dict:
+    import numpy as np
+
+    from emap_tpu import config
+    from emap_tpu.data.synthetic import sample_cube_edge_points
+    from emap_tpu.eval.metrics import (
+        chamfer_distance,
+        compute_precision_recall_iou,
+        downsample_point_cloud_average,
+        get_pred_points_and_directions,
+    )
+    from emap_tpu.train.runner import Runner
+
+    conf = config.Config(shared_conf_dict(side))
+    conf["train.latest_model_name"] = ckpt_name
+    runner = Runner(conf, mode="extract_edge")
+    edge_dict = runner.extract_edge(
+        resolution=RES, udf_threshold=THRESH, sampling_N=50,
+        sampling_delta=0.005, is_pointshift=True, iters=2,
+        is_linedirection=True, visible_checking=False,
+    )
+    json_path = os.path.join(
+        runner.base_exp_dir, "results", "parametric_edges.json"
+    )
+    curve_pts, line_pts, _, _ = get_pred_points_and_directions(json_path)
+    pred = np.concatenate(
+        [np.asarray(curve_pts).reshape(-1, 3),
+         np.asarray(line_pts).reshape(-1, 3)]
+    )
+    pred = downsample_point_cloud_average(
+        pred.astype(np.float32), 256, [-1, -1, -1], [1, 1, 1]
+    )
+    gt = sample_cube_edge_points(0.5, spacing=0.005)
+    metrics = {
+        f"{name}_{t}": []
+        for name in ("precision", "recall", "fscore", "IOU")
+        for t in (0.005, 0.01, 0.02)
+    }
+    chamfer, acc, comp = chamfer_distance(pred, gt)
+    compute_precision_recall_iou(pred, gt, metrics, [0.005, 0.01, 0.02], "all")
+    return {
+        "side": side,
+        "chamfer": round(chamfer, 5), "acc": round(acc, 5),
+        "comp": round(comp, 5),
+        **{k: round(v[0], 4) for k, v in metrics.items()},
+        "n_lines": len(edge_dict["lines_end_pts"]),
+        "n_curves": len(edge_dict["curves_ctl_pts"]),
+    }
+
+
+def run_eval() -> None:
+    results = {}
+    results["ref"] = score_side("ref", os.path.join(OUT, "ref_final.pth"))
+    results["ours"] = score_side("ours", "ckpt_best.npz")
+    delta = round(
+        results["ours"]["fscore_0.005"] - results["ref"]["fscore_0.005"], 4
+    )
+    table = {"parity": results, "fscore5mm_delta_ours_minus_ref": delta,
+             "steps": STEPS, "batch": BATCH}
+    out_path = os.path.join(OUT, "parity_table.json")
+    with open(out_path, "w") as f:
+        json.dump(table, f, indent=1)
+    print(json.dumps(table))
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "eval"
+    os.makedirs(OUT, exist_ok=True)
+    if cmd == "ref":
+        run_reference()
+    elif cmd == "ours":
+        run_ours()
+    elif cmd == "eval":
+        run_eval()
+    else:
+        raise SystemExit(f"unknown command {cmd!r}")
