@@ -194,16 +194,33 @@ def extract_pointcloud(
     iters: int = 1,
     is_linedirection: bool = False,
     seed: int = 42,
-    grid_chunk: int = 65536,
+    grid_chunk: int = 1 << 20,
     point_batch: int = 4096,
-    use_pallas: bool = False,
+    use_pallas: bool | None = None,
 ):
     """Edge point cloud from the UDF (reference get_pointcloud_from_udf
     :212-293). Returns (points (M,3), line_directions (M,3)) numpy arrays.
 
-    use_pallas routes field queries through the fused Pallas kernels
-    (experimental; currently slower than XLA -- see kernels/mlp_query.py).
+    use_pallas=None (auto, the default) routes the dense GRID queries through
+    the fused feature-major Pallas kernel when on a real TPU -- measured
+    1.53x vs XLA at the 256^3 workload with 1M-point chunks
+    (scripts/bench_extraction.py) -- and keeps the candidate FEATURE batches
+    on XLA autodiff: at the 4096-candidate batch size that the 51x jitter
+    blowup and vjp-residual memory allow, per-call dispatch dominates and
+    XLA measures faster there (the kernel's 1.48x fwd+grad win needs >=262k
+    points per call, scripts/bench_kernels.py). Pass True/False to force
+    both paths on/off.
+
+    grid_chunk defaults to 1M points per dispatch: at 64k chunks the 256^3
+    grid spends ~57 ms/call on dispatch + result fetch vs ~2 ms compute.
     """
+    if use_pallas is None:
+        from emap_tpu.kernels import pallas_available
+
+        grid_pallas = pallas_available()
+        feature_pallas = False
+    else:
+        grid_pallas = feature_pallas = use_pallas
     key = jax.random.key(seed)
     N = resolution
     total = N**3
@@ -213,7 +230,7 @@ def extract_pointcloud(
     udf_vals = np.empty((total,), np.float32)
     for start in range(0, total, chunk):
         vals = _grid_udf_chunk(params, jnp.int32(start), chunk, N, ucfg,
-                               use_pallas)
+                               grid_pallas)
         n_here = min(chunk, total - start)
         udf_vals[start : start + n_here] = np.asarray(vals)[:n_here]
 
@@ -235,7 +252,7 @@ def extract_pointcloud(
     want_dirs_now = is_linedirection and not (is_pointshift and iters > 0)
     _, normals, line_dirs = _run_point_batches(
         params, ucfg, xyz, jax.random.fold_in(key, 0), sampling_N,
-        sampling_delta, want_dirs_now, point_batch, use_pallas,
+        sampling_delta, want_dirs_now, point_batch, feature_pallas,
     )
 
     # --- phase 3: point shift toward the zero set (reference :271-288) ---
@@ -246,7 +263,7 @@ def extract_pointcloud(
             df, normals, line_dirs = _run_point_batches(
                 params, ucfg, xyz, jax.random.fold_in(key, it + 1),
                 sampling_N, sampling_delta, is_linedirection and last,
-                point_batch, use_pallas,
+                point_batch, feature_pallas,
             )
             keep = df <= udf_threshold
             xyz, df, normals, line_dirs = (

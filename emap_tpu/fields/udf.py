@@ -19,7 +19,9 @@ Functional re-design of the reference UDFNetwork (src/models/udf_model.py:7-135)
 
 TPU notes: all math is (N, 256) x (256, 256) matmuls — MXU-shaped; the PE and
 softplus fuse into the matmul producers under XLA.  Matmul precision defaults
-to HIGHEST because UDF values at the 0.02 threshold need full f32 mantissas.
+to HIGH (3-pass bf16): measured max |udf| error vs full f32 is 9.2e-5
+(scripts/profile_mfu.py), noise at the 0.005-0.03 near-surface thresholds,
+for +11% step throughput; conf key model.udf_network.precision overrides.
 """
 
 from __future__ import annotations
@@ -49,12 +51,18 @@ class UDFConfig:
     geometric_init: bool = True
     weight_norm: bool = True
     udf_type: str = "abs"
-    # jax-side extras (not in the reference config surface)
-    precision: str = "highest"  # matmul precision for field queries
+    # jax-side extras (not in the reference config surface).
+    # Matmul precision for field queries: "high" = 3-pass bf16 on the TPU
+    # MXU, max |udf| error 9.2e-5 vs full f32 (scripts/profile_mfu.py) --
+    # noise at the 0.005-0.03 near-surface decision thresholds -- and +11%
+    # train-step throughput vs "highest". Set precision = "highest" in the
+    # conf for bit-level f32.
+    precision: str = "high"
 
     @classmethod
     def from_conf(cls, conf) -> "UDFConfig":
         return cls(
+            precision=conf.get_string("precision", "high"),
             d_in=conf.get_int("d_in", 3),
             d_out=conf.get_int("d_out", 1),
             d_hidden=conf.get_int("d_hidden", 256),

@@ -1,31 +1,42 @@
-"""Pallas TPU kernel: fused positional-encoding + UDF-MLP query.
+"""Pallas TPU kernel: fused UDF-MLP query, feature-major layout.
 
-The UDF field query chain is PE -> 9 matmuls with softplus -> abs head.
-This kernel keeps the whole chain in VMEM per point-tile: one HBM read of the
-3-coordinate inputs, one write of the outputs, weights resident in VMEM
-(~2 MB for the flagship 8x256 net).
+The UDF field query chain is PE -> 9 matmuls with softplus -> abs head
+(reference src/models/udf_model.py:90-135). XLA lowers this well per-matmul
+but cannot fuse THROUGH matmuls: every layer round-trips its (N, 256)
+activation through HBM (~18 KB/point/pass), which makes the big extraction
+queries HBM-bound. This kernel keeps the whole chain in VMEM per point-tile:
+weights resident (~2.2 MB), one HBM read of the encoded inputs, one write of
+the outputs.
 
-STATUS (measured on v5e, scripts/bench_kernels.py): the current point-major
-layout ((tile, 3)/(tile, 63) blocks with lane-unaligned feature dims and
-in-kernel transposes in the backward) is SLOWER than XLA's own lowering
-(0.11x fwd, 0.34x fwd+grad) -- XLA fuses this chain well at these shapes.
-The kernels are therefore OFF by default (`use_pallas=False` throughout) and
-kept as a correctness-validated base for a feature-major (lane = point)
-redesign. Do not enable in production paths until the micro-benchmark shows
-a win.
+LAYOUT (the round-2 redesign): everything is FEATURE-MAJOR -- arrays are
+(features, points) with the point axis on the 128-wide lanes. Round 1's
+point-major kernel put 3- and 63-wide feature dims on the lanes and measured
+0.11x vs XLA; feature-major runs every VPU op at full lane width and every
+matmul as (256, 256) x (256, T) on the MXU.
 
-Two entry points:
+STATUS (measured on v5e, scripts/bench_kernels.py, 262k-point extraction
+shapes, production "high" tier): **1.19x fwd / 1.48x fwd+grad vs XLA** --
+ON by default for the extraction paths on TPU (extract/pointcloud.py).
+Two more lessons encoded here: (a) weights are packed into TWO buffers
+(19 per-grid-step input DMAs cost more than the matmuls; see pack_weights),
+(b) the kernel must be invoked INSIDE an enclosing jit -- eager invocation
+times per-op tunnel dispatch, not the kernel.
+
+The positional encoding and its Jacobian stay OUTSIDE the kernel in XLA: they
+are single-pass elementwise ops that XLA fuses anyway, and doing them in-kernel
+would reintroduce lane-width-3 vector work.
+
+Two entry points (API unchanged from round 1):
 * `pallas_udf_value(params, pts, cfg)`          -> (N,) udf
 * `pallas_udf_value_and_grad(params, pts, cfg)` -> ((N,), (N, 3)) with the
   spatial gradient computed by an in-kernel hand-derived backward pass
-  (reverse through the folded weights, softplus' = sigmoid(100 z), the skip
-  split, and the analytic PE Jacobian) -- no autograd graph, so the
-  extraction path (stop-gradient by nature) gets value+grad in one fused pass.
+  (reverse through the folded weights and softplus' = sigmoid(100 z)), plus
+  the analytic PE Jacobian applied outside.
 
-These kernels serve the inference/extraction paths (emap_tpu/extract); the
-training step keeps JAX autodiff (the eikonal double-backprop would need
-custom second-order rules through a kernel). Weight norm is folded to
-effective weights outside the kernel (inference-time params are fixed).
+These kernels serve the inference/extraction and no-grad sampler paths; the
+training render_core keeps JAX autodiff (the eikonal double-backprop would
+need custom second-order rules through a kernel). Weight norm is folded to
+effective weights outside the kernel.
 
 Falls back to interpret mode off-TPU so tests validate the same code path.
 """
@@ -38,6 +49,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from emap_tpu.fields.embedder import positional_encoding
 from emap_tpu.fields.udf import UDFConfig, _effective_weight
 
 
@@ -48,235 +60,301 @@ def pallas_available() -> bool:
         return False
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 def fold_weights(params, cfg: UDFConfig):
-    """Fold weight-norm (g, v) -> w and return ((wT, b), ...) per layer with
-    wT already transposed for x @ wT layouts."""
+    """Fold weight-norm (g, v) -> w; returns [(w (out,in), b (out,1)), ...].
+
+    lin0's input dim is zero-padded up to a sublane multiple so the kernel's
+    encoded-input block can be padded to match (zero rows x zero cols = 0).
+    """
     layers = []
     n_linear = len(cfg.dims) - 1
+    d0 = cfg.dims[0]
+    d0_pad = _round_up(d0, 8)
     for l in range(n_linear):
         layer = params[f"lin{l}"]
-        w = _effective_weight(layer)
-        layers.append((w.T.astype(jnp.float32), layer["b"].astype(jnp.float32)))
+        w = _effective_weight(layer).astype(jnp.float32)
+        if l == 0 and d0_pad != d0:
+            w = jnp.pad(w, ((0, 0), (0, d0_pad - d0)))
+        b = layer["b"].astype(jnp.float32)[:, None]
+        layers.append((w, b))
     return layers
+
+
+def _layer_dims(cfg: UDFConfig):
+    """[(in_dim_padded, out_dim)] per linear, with lin0's input padded."""
+    d0_pad = _round_up(cfg.dims[0], 8)
+    dims = []
+    for l, in_dim, out_dim in cfg.layer_shapes():
+        dims.append((d0_pad if l == 0 else in_dim, out_dim))
+    return dims
+
+
+def pack_weights(params, cfg: UDFConfig):
+    """Pack all layers into TWO buffers so the kernel has 3 input DMAs per
+    grid step instead of 19 (the round-1 kernel's dominant overhead:
+    ~2 us DMA-issue latency x 19 buffers x hundreds of grid steps).
+
+    W_pack: (row_max, sum_in) with layer l's (out_l, in_l) block at column
+    offset off_l, zero-padded rows above out_l. B_pack: (row_max, n_linear).
+    """
+    layers = fold_weights(params, cfg)
+    dims = _layer_dims(cfg)
+    row_max = max(o for _, o in dims)
+    blocks, biases = [], []
+    for (w, b), (in_d, out_d) in zip(layers, dims):
+        blocks.append(jnp.pad(w, ((0, row_max - out_d), (0, 0))))
+        biases.append(jnp.pad(b, ((0, row_max - out_d), (0, 0))))
+    return jnp.concatenate(blocks, axis=1), jnp.concatenate(biases, axis=1)
 
 
 def _pe_freqs(cfg: UDFConfig) -> np.ndarray:
     return 2.0 ** np.linspace(0.0, cfg.multires - 1, cfg.multires)
 
 
-def _encode(x, freqs):
-    """In-kernel PE matching fields.embedder layout:
-    [x, sin(f0 x), cos(f0 x), sin(f1 x), cos(f1 x), ...]."""
-    parts = [x]
-    for f in freqs:
-        xf = x * f
-        parts.append(jnp.sin(xf))
-        parts.append(jnp.cos(xf))
-    return jnp.concatenate(parts, axis=-1)
+def _encode_host(pts: jnp.ndarray, cfg: UDFConfig) -> jnp.ndarray:
+    """(N, 3) -> (d0_pad, N) feature-major encoded inputs (XLA-side)."""
+    u = pts * cfg.scale
+    inputs = positional_encoding(u, cfg.multires) if cfg.multires > 0 else u
+    d0 = inputs.shape[-1]
+    d0_pad = _round_up(d0, 8)
+    if d0_pad != d0:
+        inputs = jnp.pad(inputs, ((0, 0), (0, d0_pad - d0)))
+    return inputs.T
 
 
-def _forward_in_kernel(x, weight_refs, cfg: UDFConfig, freqs,
-                       keep_preacts: bool):
-    """Shared forward: returns (y_raw, inputs_pe, preact_sigmoids)."""
-    n_linear = len(cfg.dims) - 1
-    inputs = x * cfg.scale
+def _pe_jacobian_host(pts, g_inputs_T, cfg: UDFConfig) -> jnp.ndarray:
+    """Apply d(PE(x*scale))/dx to g_inputs ((d0_pad, N) feature-major).
+
+    Mirrors embedder layout [u, sin(f0 u), cos(f0 u), ...] with u = x*scale.
+    """
+    g = g_inputs_T.T  # (N, d0_pad)
+    du = g[:, :3]
     if cfg.multires > 0:
-        inputs = _encode(inputs, freqs)
-    h = inputs
-    sigmoids = []
-    for l in range(n_linear):
-        wT, b = weight_refs[l]
-        if l in cfg.skip_in:
-            h = jnp.concatenate([h, inputs], axis=-1) * np.float32(
-                1.0 / np.sqrt(2.0)
-            )
-        z = (
-            jnp.dot(h, wT[...], preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-            + b[...]
+        u = pts * cfg.scale
+        for k, f in enumerate(_pe_freqs(cfg)):
+            s_part = g[:, 3 + 6 * k : 6 + 6 * k]
+            c_part = g[:, 6 + 6 * k : 9 + 6 * k]
+            uf = u * f
+            du = du + f * (jnp.cos(uf) * s_part - jnp.sin(uf) * c_part)
+    return du * cfg.scale
+
+
+def _kernel_dot(a, b, precision: str, dimension_numbers=None):
+    """Matmul with software precision tiers inside a Pallas kernel.
+
+    Mosaic only lowers DEFAULT and HIGHEST dot precisions; the production
+    default is HIGH (3-pass bf16), so emulate it explicitly: split each f32
+    operand into bf16 hi + bf16 lo and accumulate the three significant
+    cross-products at full bf16 MXU rate (the lo*lo term is below f32 noise).
+    """
+    dn = dimension_numbers or (((a.ndim - 1,), (0,)), ((), ()))
+
+    def dot(x, y):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
         )
+
+    if precision == "highest":
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    if precision == "high":
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_hi = b.astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
+    # default: one bf16 pass
+    return dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
+
+
+def _head(y0, udf_type: str):
+    if udf_type == "abs":
+        return jnp.abs(y0), jnp.sign(y0)
+    if udf_type == "square":
+        return y0**2, 2.0 * y0
+    return y0, jnp.ones_like(y0)
+
+
+def _kernel_forward(x, w_ref, b_ref, cfg: UDFConfig, keep_preacts: bool):
+    """Feature-major forward: x (d0_pad, T) -> (y (d_out, T), sigmoids).
+
+    w_ref/b_ref are the packed buffers from pack_weights; every per-layer
+    access is a static slice of a VMEM-resident ref.
+    """
+    dims = _layer_dims(cfg)
+    n_linear = len(dims)
+    h = x
+    sigmoids = []
+    off = 0
+    for l, (in_d, out_d) in enumerate(dims):
+        if l in cfg.skip_in:
+            # lin(l-1) out is (d_hidden - d0) rows; re-attach the encoded
+            # input rows (first d0 of the padded block) -> d_hidden rows
+            h = jnp.concatenate(
+                [h, x[: cfg.dims[0], :]], axis=0
+            ) * np.float32(1.0 / np.sqrt(2.0))
+        w = w_ref[:, off : off + in_d]
+        z = _kernel_dot(w, h, cfg.precision)[:out_d] + b_ref[:out_d, l : l + 1]
+        off += in_d
         if l < n_linear - 1:
-            s = jax.nn.sigmoid(100.0 * z)
             if keep_preacts:
+                # bf16 residuals on the fast tiers: 8 x (256, T) f32 would
+                # blow the 16 MB VMEM at tile 2048; softplus' in bf16
+                # perturbs grads well inside those tiers' error envelopes.
+                # "highest" keeps f32 residuals (bit-exactness contract).
+                s = jax.nn.sigmoid(100.0 * z)
+                if cfg.precision != "highest":
+                    s = s.astype(jnp.bfloat16)
                 sigmoids.append(s)
             h = jax.nn.softplus(100.0 * z) / 100.0
         else:
             h = z
-    return h, inputs, sigmoids
-
-
-def _make_specs(cfg: UDFConfig, tile: int):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    n_linear = len(cfg.dims) - 1
-    in_specs = [
-        pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    ]
-    for _ in range(n_linear):
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # wT
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # b
-    return in_specs
-
-
-def _flatten_weights(layers):
-    flat = []
-    for wT, b in layers:
-        flat.extend([wT, b])
-    return flat
+    return h, sigmoids
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
-def _pallas_value(pts, cfg: UDFConfig, tile: int, interpret: bool, *flat_w):
+def _pallas_value(x_T, w_pack, b_pack, cfg: UDFConfig, tile: int,
+                  interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n = pts.shape[0]
-    n_tiles = n // tile
-    freqs = _pe_freqs(cfg)
-    n_linear = len(cfg.dims) - 1
+    d0_pad, n = x_T.shape
 
-    def kernel(pts_ref, *refs):
-        weight_refs = [
-            (refs[2 * l], refs[2 * l + 1]) for l in range(n_linear)
-        ]
-        out_ref = refs[2 * n_linear]
-        x = pts_ref[...]
-        y, _, _ = _forward_in_kernel(x, weight_refs, cfg, freqs, False)
-        udf = jnp.abs(y[:, :1]) if cfg.udf_type == "abs" else (
-            y[:, :1] ** 2 if cfg.udf_type == "square" else y[:, :1]
-        )
+    def kernel(x_ref, w_ref, b_ref, out_ref):
+        y, _ = _kernel_forward(x_ref[...], w_ref, b_ref, cfg, False)
+        udf, _ = _head(y[:1, :], cfg.udf_type)
         out_ref[...] = udf / cfg.scale
 
+    in_specs = [
+        pl.BlockSpec((d0_pad, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
-        grid=(n_tiles,),
-        in_specs=_make_specs(cfg, tile),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        grid=(n // tile,),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (1, tile), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(pts, *flat_w)
-    return out[:, 0]
+    )(x_T, w_pack, b_pack)
+    return out[0]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
-def _pallas_value_and_grad(pts, cfg: UDFConfig, tile: int, interpret: bool,
-                           *flat_w):
+def _pallas_value_and_grad(x_T, w_pack, b_pack, cfg: UDFConfig, tile: int,
+                           interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n = pts.shape[0]
-    n_tiles = n // tile
-    freqs = _pe_freqs(cfg)
-    n_linear = len(cfg.dims) - 1
+    d0_pad, n = x_T.shape
     d0 = cfg.dims[0]
+    dims = _layer_dims(cfg)
+    row_max = max(o for _, o in dims)
+    offs = np.concatenate([[0], np.cumsum([i for i, _ in dims])])
 
-    def kernel(pts_ref, *refs):
-        weight_refs = [
-            (refs[2 * l], refs[2 * l + 1]) for l in range(n_linear)
-        ]
-        udf_ref = refs[2 * n_linear]
-        grad_ref = refs[2 * n_linear + 1]
-
-        x = pts_ref[...]
-        y, inputs, sigmoids = _forward_in_kernel(
-            x, weight_refs, cfg, freqs, True
+    def pad_rows(a, rows):
+        if a.shape[0] == rows:
+            return a
+        return jnp.concatenate(
+            [a, jnp.zeros((rows - a.shape[0], a.shape[1]), a.dtype)], axis=0
         )
-        y0 = y[:, :1]
-        if cfg.udf_type == "abs":
-            udf = jnp.abs(y0)
-            dy = jnp.sign(y0)
-        elif cfg.udf_type == "square":
-            udf = y0**2
-            dy = 2.0 * y0
-        else:
-            udf = y0
-            dy = jnp.ones_like(y0)
+
+    def kernel(x_ref, w_ref, b_ref, udf_ref, gin_ref):
+        x = x_ref[...]
+        y, sigmoids = _kernel_forward(x, w_ref, b_ref, cfg, True)
+        udf, dy = _head(y[:1, :], cfg.udf_type)
         udf_ref[...] = udf / cfg.scale
         dy = dy / cfg.scale
 
-        # ---- hand-derived reverse pass wrt the input coordinates ----
-        # g starts as d(udf)/d(y) padded across d_out (only channel 0 flows)
-        g = jnp.concatenate(
-            [dy, jnp.zeros((dy.shape[0], cfg.dims[-1] - 1), dy.dtype)],
-            axis=-1,
-        ) if cfg.dims[-1] > 1 else dy
-        g_inputs = jnp.zeros_like(inputs)
-        for l in reversed(range(n_linear)):
-            wT, _ = weight_refs[l]
-            g = jnp.dot(
-                g, wT[...].T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # d wrt layer-l input
+        # reverse pass wrt the encoded inputs, still feature-major:
+        # g = W^T @ g == dot_general contracting the out-feature axis. The
+        # packed W's zero rows above out_l make padded g rows harmless.
+        g = dy  # (out_last, T)
+        g_inputs = jnp.zeros((d0_pad, x.shape[1]), x.dtype)
+        for l in reversed(range(len(dims))):
+            in_l, _ = dims[l]
+            w = w_ref[:, int(offs[l]) : int(offs[l]) + in_l]
+            g = _kernel_dot(
+                w, pad_rows(g, row_max), cfg.precision,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+            )  # (in_l, T)
             if l in cfg.skip_in:
                 scale = np.float32(1.0 / np.sqrt(2.0))
-                g_inputs = g_inputs + g[:, -d0:] * scale
-                g = g[:, :-d0] * scale
-            if l > 0:
-                g = g * sigmoids[l - 1]
-        g_inputs = g_inputs + g
+                # pad+add instead of .at[:d0].add -- Mosaic has no scatter-add
+                g_inputs = g_inputs + pad_rows(g[-d0:, :] * scale, d0_pad)
+                g = g[:-d0, :] * scale
+            elif l == 0:
+                g_inputs = g_inputs + g  # lin0 input IS the padded encoding
+                continue
+            g = g * sigmoids[l - 1].astype(jnp.float32)
+        gin_ref[...] = g_inputs
 
-        # PE Jacobian: inputs = [u, sin(f u), cos(f u), ...], u = x*scale
-        du = g_inputs[:, :3]
-        if cfg.multires > 0:
-            u = x * cfg.scale
-            for k, f in enumerate(freqs):
-                s_part = g_inputs[:, 3 + 6 * k : 6 + 6 * k]
-                c_part = g_inputs[:, 6 + 6 * k : 9 + 6 * k]
-                uf = u * f
-                du = du + f * (jnp.cos(uf) * s_part - jnp.sin(uf) * c_part)
-        grad_ref[...] = du * cfg.scale
-
-    out_shape = (
-        jax.ShapeDtypeStruct((n, 1), jnp.float32),
-        jax.ShapeDtypeStruct((n, 3), jnp.float32),
-    )
+    in_specs = [
+        pl.BlockSpec((d0_pad, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
     out_specs = (
-        pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (d0_pad, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
     )
-    udf, grad = pl.pallas_call(
+    udf, g_inputs = pl.pallas_call(
         kernel,
-        out_shape=out_shape,
-        grid=(n_tiles,),
-        in_specs=_make_specs(cfg, tile),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((d0_pad, n), jnp.float32),
+        ),
+        grid=(n // tile,),
+        in_specs=in_specs,
         out_specs=out_specs,
         interpret=interpret,
-    )(pts, *flat_w)
-    return udf[:, 0], grad
+    )(x_T, w_pack, b_pack)
+    return udf[0], g_inputs
 
 
-def _pad_to_tile(pts: jnp.ndarray, tile: int):
+def _pad_pts(pts: jnp.ndarray, tile: int):
     n = pts.shape[0]
     pad = (-n) % tile
     if pad:
-        pts = jnp.concatenate(
-            [pts, jnp.zeros((pad, 3), pts.dtype)], axis=0
-        )
+        pts = jnp.concatenate([pts, jnp.zeros((pad, 3), pts.dtype)], axis=0)
     return pts, n
 
 
-def pallas_udf_value(params, pts, cfg: UDFConfig, tile: int = 512,
+def pallas_udf_value(params, pts, cfg: UDFConfig, tile: int = 2048,
                      interpret: bool | None = None):
-    """Fused PE+MLP UDF query; pts (N, 3) -> (N,)."""
+    """Fused MLP UDF query; pts (N, 3) -> (N,)."""
     if interpret is None:
         interpret = not pallas_available()
-    layers = fold_weights(params, cfg)
-    padded, n = _pad_to_tile(jnp.asarray(pts, jnp.float32), tile)
-    out = _pallas_value(padded, cfg, tile, interpret, *_flatten_weights(layers))
+    w_pack, b_pack = pack_weights(params, cfg)
+    padded, n = _pad_pts(jnp.asarray(pts, jnp.float32), tile)
+    x_T = _encode_host(padded, cfg)
+    out = _pallas_value(x_T, w_pack, b_pack, cfg, tile, interpret)
     return out[:n]
 
 
-def pallas_udf_value_and_grad(params, pts, cfg: UDFConfig, tile: int = 512,
+def pallas_udf_value_and_grad(params, pts, cfg: UDFConfig, tile: int = 1024,
                               interpret: bool | None = None):
-    """Fused PE+MLP value + spatial gradient; pts (N, 3) -> ((N,), (N, 3))."""
+    """Fused MLP value + spatial gradient; pts (N, 3) -> ((N,), (N, 3))."""
     if interpret is None:
         interpret = not pallas_available()
-    layers = fold_weights(params, cfg)
-    padded, n = _pad_to_tile(jnp.asarray(pts, jnp.float32), tile)
-    udf, grad = _pallas_value_and_grad(
-        padded, cfg, tile, interpret, *_flatten_weights(layers)
+    w_pack, b_pack = pack_weights(params, cfg)
+    padded, n = _pad_pts(jnp.asarray(pts, jnp.float32), tile)
+    x_T = _encode_host(padded, cfg)
+    udf, g_inputs = _pallas_value_and_grad(
+        x_T, w_pack, b_pack, cfg, tile, interpret
     )
+    grad = _pe_jacobian_host(padded, g_inputs, cfg)
     return udf[:n], grad[:n]

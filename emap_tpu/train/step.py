@@ -68,6 +68,7 @@ class TrainConfig:
             same_lr=t.get_bool("same_lr", False),
             near=near,
             far=far,
+            seed=t.get_int("seed", 42),
         )
 
 

@@ -36,8 +36,11 @@ def main():
 
     xla_value = jax.jit(lambda p: udf_value(params, p, cfg))
     xla_vg = jax.jit(lambda p: udf_value_and_gradient(params, p, cfg))
-    pl_value = functools.partial(pallas_udf_value, params, cfg=cfg)
-    pl_vg = functools.partial(pallas_udf_value_and_grad, params, cfg=cfg)
+    # jit the full wrappers: production call sites (extraction chunks,
+    # sampler) invoke the kernel INSIDE jit, so encode/pack fuse into the
+    # same program; calling them eagerly would time per-op tunnel dispatch
+    pl_value = jax.jit(lambda p: pallas_udf_value(params, p, cfg))
+    pl_vg = jax.jit(lambda p: pallas_udf_value_and_grad(params, p, cfg))
 
     def timeit(name, fn, iters=20):
         out = fn(pts)
@@ -54,15 +57,16 @@ def main():
                     "value": round(n / dt / 1e6, 2),
                     "unit": "Mpoints/s",
                     "ms_per_call": round(dt * 1e3, 2),
-                }
-            )
+                },
+                ),
+            flush=True,
         )
         return n / dt
 
     v_x = timeit("xla_value", lambda p: xla_value(p))
-    v_p = timeit("pallas_value", lambda p: pl_value(pts=p))
+    v_p = timeit("pallas_value", lambda p: pl_value(p))
     g_x = timeit("xla_value_and_grad", lambda p: xla_vg(p))
-    g_p = timeit("pallas_value_and_grad", lambda p: pl_vg(pts=p))
+    g_p = timeit("pallas_value_and_grad", lambda p: pl_vg(p))
     print(
         json.dumps(
             {
@@ -70,7 +74,8 @@ def main():
                 "value_fwd": round(v_p / v_x, 2),
                 "value_grad": round(g_p / g_x, 2),
             }
-        )
+        ),
+        flush=True,
     )
 
 

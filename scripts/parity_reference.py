@@ -45,6 +45,7 @@ RES = int(os.environ.get("PARITY_RES", "96"))
 IMG = int(os.environ.get("PARITY_IMG", "128"))
 VIEWS = int(os.environ.get("PARITY_VIEWS", "24"))
 THRESH = float(os.environ.get("PARITY_THRESH", "0.03"))
+SEED = int(os.environ.get("PARITY_SEED", "42"))
 HIDDEN = int(os.environ.get("PARITY_HIDDEN", "64"))
 LAYERS = int(os.environ.get("PARITY_LAYERS", "4"))
 MULTIRES = int(os.environ.get("PARITY_MULTIRES", "6"))
@@ -68,6 +69,7 @@ def shared_conf_dict(side: str) -> dict:
             "far": 4.5,
         },
         "train": {
+            "seed": SEED,
             "latest_model_name": "ckpt_best.npz",
             "importance_sample": True,
             "learning_rate": 5e-4,
