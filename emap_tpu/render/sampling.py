@@ -86,10 +86,21 @@ def sample_pdf(
     below = jnp.clip(inds - 1, 0, m - 1)
     above = jnp.clip(inds, 0, m - 1)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    # Gather cdf/bins at below/above via one-hot matmuls instead of
+    # take_along_axis: lane-axis gathers are slow on TPU, while the MXU does
+    # the same selection ~1.5x faster (scripts/bench_merge.py). Exact under
+    # HIGH precision: one-hots are bf16-exact and the 3-pass split
+    # reconstructs the f32 operand exactly.
+    k = jnp.arange(m)
+    oh_below = (below[:, :, None] == k).astype(bins.dtype)  # (B, n, M)
+    oh_above = (above[:, :, None] == k).astype(bins.dtype)
+    _sel = lambda oh, vals: jnp.einsum(
+        "bnk,bk->bn", oh, vals, precision=jax.lax.Precision.HIGH
+    )
+    cdf_below = _sel(oh_below, cdf)
+    cdf_above = _sel(oh_above, cdf)
+    bins_below = _sel(oh_below, bins)
+    bins_above = _sel(oh_above, bins)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
@@ -220,14 +231,36 @@ def up_sample_no_occ_aware(
 
 def _merge_z_vals(z_vals, new_z_vals, udf, new_udf):
     """Sort-merge z values and (optionally) their udf values
-    (reference cat_z_vals :355-377)."""
-    z_cat = jnp.concatenate([z_vals, new_z_vals], axis=-1)
-    order = jnp.argsort(z_cat, axis=-1)
-    z_sorted = jnp.take_along_axis(z_cat, order, axis=-1)
+    (reference cat_z_vals :355-377).
+
+    Both inputs are individually sorted (base z is a linspace + per-ray shift;
+    sample_pdf output is monotone in u), so instead of an argsort (XLA bitonic
+    sort + lane gathers, ~2.5 ms at these shapes) we compute stable merge
+    ranks by counting and scatter through one-hot matmuls on the MXU
+    (~0.8 ms, scripts/bench_merge.py). Bit-exact vs the argsort path: ranks
+    are a permutation and the HIGH-precision one-hot product reconstructs f32
+    exactly.
+    """
+    n = z_vals.shape[-1]
+    m = new_z_vals.shape[-1]
+    # stable ranks matching argsort of [z | new]: ties put z first
+    rank_z = jnp.arange(n) + jnp.sum(
+        new_z_vals[:, None, :] < z_vals[:, :, None], axis=-1
+    )
+    rank_new = jnp.arange(m) + jnp.sum(
+        z_vals[:, None, :] <= new_z_vals[:, :, None], axis=-1
+    )
+    k = jnp.arange(n + m)
+    p_z = (rank_z[:, :, None] == k).astype(z_vals.dtype)  # (B, n, n+m)
+    p_new = (rank_new[:, :, None] == k).astype(z_vals.dtype)
+    _scat = lambda a, b, pa, pb: (
+        jnp.einsum("bi,bik->bk", a, pa, precision=jax.lax.Precision.HIGH)
+        + jnp.einsum("bj,bjk->bk", b, pb, precision=jax.lax.Precision.HIGH)
+    )
+    z_sorted = _scat(z_vals, new_z_vals, p_z, p_new)
     if new_udf is None:
         return z_sorted, None
-    udf_cat = jnp.concatenate([udf, new_udf], axis=-1)
-    udf_sorted = jnp.take_along_axis(udf_cat, order, axis=-1)
+    udf_sorted = _scat(udf, new_udf, p_z, p_new)
     return z_sorted, udf_sorted
 
 
