@@ -58,11 +58,18 @@ class UDFConfig:
     # train-step throughput vs "highest". Set precision = "highest" in the
     # conf for bit-level f32.
     precision: str = "high"
+    # Fused Pallas train-path field query (kernels/mlp_train.py): "auto"
+    # enables it on real TPU devices (measured 1.32x vs XLA at the same
+    # tier AND 5.6x lower weight-grad error, scripts/bench_kernels.py);
+    # "on" forces it (interpret mode off-TPU, for tests); "off" keeps the
+    # pure-XLA autodiff path.
+    pallas_train: str = "auto"
 
     @classmethod
     def from_conf(cls, conf) -> "UDFConfig":
         return cls(
             precision=conf.get_string("precision", "high"),
+            pallas_train=conf.get_string("pallas_train", "auto"),
             d_in=conf.get_int("d_in", 3),
             d_out=conf.get_int("d_out", 1),
             d_hidden=conf.get_int("d_hidden", 256),

@@ -1,0 +1,324 @@
+"""Pallas TPU kernel: the TRAINING field query — fused UDF value + spatial
+gradient with a hand-derived second-order backward pass.
+
+render_core (emap_tpu/render/renderer.py, reference
+src/models/udf_renderer_blending.py:418-677) queries the UDF MLP at
+1024x114 points per step and needs BOTH the value and the spatial gradient
+(for the eikonal terms), and the train loss is then differentiated w.r.t.
+parameters THROUGH that spatial gradient (double backprop; reference uses
+torch.autograd.grad(create_graph=True), udf_model.py:121-135). XLA handles
+this correctly but round-trips every layer activation of the forward, the
+gradient reverse pass, and their outer backward through HBM.
+
+This module keeps the whole second-order chain in VMEM:
+
+* forward  = `_pallas_value_and_grad` from kernels/mlp_query.py (value +
+  spatial gradient, feature-major, packed weights), exposed here through a
+  `jax.custom_vjp`;
+* backward = `_pallas_train_bwd`: given cotangents (u_bar, g_bar) w.r.t.
+  (udf, d udf/d PE-input), produce packed weight/bias gradients in ONE
+  kernel per point-tile, accumulated across the grid.
+
+The adjoint equations (validated against jax.vjp to f32 roundoff,
+tests/test_kernels_train.py):
+
+  forward      z_l = W_l u_l + b_l,  a_l = softplus(100 z)/100,
+               s_l = sigmoid(100 z_l);  u_l = [a_{l-1}; x]/sqrt(2) at skips
+  grad chain   r_{L-1} = dy;  q_l = W_l^T r_l;  r_{l-1} = carry_l * s_{l-1}
+               (carry = non-x rows of q, scaled), g = x-rows accumulated
+  ascend       q_hat built from (carryhat, g_bar);  Wbar_l += r_l q_hat^T;
+               r_hat_l = W_l q_hat;  s_hat_l += r_hat_l * carry_{l+1};
+               carryhat_{l+1} = r_hat_l * s_l
+  descend      z_hat_{L-1} = u_bar * dy  (+ 2/scale * r_hat_{L-1} for the
+               square head);  z_hat_l = a_hat_l * s_l
+               + s_hat_l * 100 s_l (1 - s_l);
+               Wbar_l += z_hat_l u_l^T;  bbar_l += sum_T z_hat_l;
+               a_hat_{l-1} = non-x rows of W_l^T z_hat_l (scaled at skips)
+
+Cotangents w.r.t. the POINTS are intentionally NOT computed (returned as
+zeros): in render_core the query points are functions of stop-gradient
+z-values and non-differentiated rays only, so XLA discards that cotangent.
+Do not reuse this primitive somewhere the points require gradients.
+
+Weight-norm stays outside: the kernel produces grads w.r.t. the FOLDED
+packed weights, and JAX transposes pack_weights/fold_weights (g,v -> w)
+automatically, so Adam sees the same (g, v, b) parameterization as torch.
+
+Falls back to interpret mode off-TPU so tests exercise the same code path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emap_tpu.fields.udf import UDFConfig
+from emap_tpu.kernels.mlp_query import (
+    _encode_host,
+    _kernel_dot,
+    _layer_dims,
+    _pad_pts,
+    _pallas_value_and_grad,
+    _pe_jacobian_host,
+    pack_weights,
+    pallas_available,
+)
+
+_INV_SQRT2 = np.float32(1.0 / np.sqrt(2.0))
+
+
+def _dy_of_y0(y0, udf_type: str, scale: float):
+    """d udf / d y0 given the head (mirrors mlp_query._head / scale)."""
+    if udf_type == "abs":
+        return jnp.sign(y0) / scale
+    if udf_type == "square":
+        return 2.0 * y0 / scale
+    return jnp.full_like(y0, 1.0 / scale)  # sdf
+
+
+def _train_bwd_math(x, w_ref, b_ref, ubar, gbar, cfg: UDFConfig):
+    """Shared fwd-recompute + adjoint math, feature-major on one tile.
+
+    x (d0_pad, T), ubar (1, T), gbar (d0_pad, T); w_ref/b_ref packed refs
+    (or arrays in interpret/reference use). Returns (wbar (row_max, sum_in),
+    bbar (row_max, L)) for this tile.
+    """
+    dims = _layer_dims(cfg)
+    L = len(dims)
+    d0 = cfg.dims[0]
+    row_max = max(o for _, o in dims)
+    offs = np.concatenate([[0], np.cumsum([i for i, _ in dims])])
+    prec = cfg.precision
+
+    def W(l):
+        return w_ref[:, int(offs[l]) : int(offs[l]) + dims[l][0]]
+
+    def dotT(l, v):
+        # W_l^T @ v contracting the out-feature axis; slice the packed
+        # block's zero-padded rows down to out_l to match v.
+        return _kernel_dot(
+            W(l)[: dims[l][1]], v, prec,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+        )
+
+    def pad_rows(a, rows):
+        if a.shape[0] == rows:
+            return a
+        return jnp.concatenate(
+            [a, jnp.zeros((rows - a.shape[0], a.shape[1]), a.dtype)], axis=0
+        )
+
+    # ---- forward recompute: layer inputs u_l, sigmoids s_l, head y0
+    us, ss = [], []
+    h = x
+    for l in range(L):
+        in_l, out_l = dims[l]
+        if l in cfg.skip_in:
+            h = jnp.concatenate([h, x[:d0, :]], axis=0) * _INV_SQRT2
+        us.append(h)
+        z = _kernel_dot(W(l), h, prec)[:out_l] + b_ref[:out_l, l : l + 1]
+        if l < L - 1:
+            # f32 sigmoids: unlike the inference kernel, bf16 residuals here
+            # multiply into every adjoint chain and push the weight-grad
+            # error to ~1e-2 rel (measured); f32 keeps it at the dot tier.
+            ss.append(jax.nn.sigmoid(100.0 * z))
+            h = jax.nn.softplus(100.0 * z) / 100.0
+        else:
+            y0 = z[:1, :]
+    dy = _dy_of_y0(y0, cfg.udf_type, cfg.scale)  # (1, T)
+
+    def s32(l):
+        return ss[l].astype(jnp.float32)
+
+    # ---- spatial-gradient reverse chain, keeping r_l and carry_l
+    rs = [None] * L
+    carries = [None] * L  # carries[l]: the value elementwise-multiplied
+    rs[L - 1] = dy        # into s_{l-1} to form r_{l-1}
+    for l in reversed(range(1, L)):
+        q = dotT(l, rs[l])  # (in_l, T)
+        if l in cfg.skip_in:
+            carry = q[:-d0, :] * _INV_SQRT2
+        else:
+            carry = q
+        carries[l] = carry
+        rs[l - 1] = carry * s32(l - 1)
+
+    # ---- phase 3: ascend the reverse chain
+    w_contrib = [None] * L  # (out_l, in_l) per layer
+    b_contrib = [None] * L
+    s_hat = [None] * (L - 1)
+    carryhat = None
+    r_hat_last = None
+    for l in range(L):
+        if l == 0:
+            q_hat = gbar
+        elif l in cfg.skip_in:
+            q_hat = jnp.concatenate(
+                [carryhat * _INV_SQRT2, gbar[:d0, :] * _INV_SQRT2], axis=0
+            )
+        else:
+            q_hat = carryhat
+        # Wbar_l += r_l q_hat^T : contract the T axis (axis 1 of both)
+        w_contrib[l] = _kernel_dot(
+            rs[l], q_hat, prec,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+        )
+        r_hat = _kernel_dot(W(l), q_hat, prec)[: dims[l][1]]
+        if l < L - 1:
+            s_hat[l] = r_hat * carries[l + 1]
+            carryhat = r_hat * s32(l)
+        else:
+            r_hat_last = r_hat  # (1, T); used by the square head only
+
+    # ---- phase 4: unified descending delta chain
+    a_hat = None
+    for l in reversed(range(L)):
+        if l == L - 1:
+            z_hat = ubar * dy
+            if cfg.udf_type == "square":
+                z_hat = z_hat + r_hat_last * (2.0 / cfg.scale)
+        else:
+            z_hat = a_hat * s32(l) + s_hat[l] * (
+                100.0 * s32(l) * (1.0 - s32(l))
+            )
+        w_contrib[l] = w_contrib[l] + _kernel_dot(
+            z_hat, us[l], prec,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+        )
+        b_contrib[l] = jnp.sum(z_hat, axis=1, keepdims=True)
+        if l == 0:
+            break
+        u_hat = dotT(l, z_hat)  # (in_l, T)
+        if l in cfg.skip_in:
+            a_hat = u_hat[:-d0, :] * _INV_SQRT2
+        else:
+            a_hat = u_hat
+
+    wbar = jnp.concatenate(
+        [pad_rows(w, row_max) for w in w_contrib], axis=1
+    )
+    bbar = jnp.concatenate(
+        [pad_rows(b, row_max) for b in b_contrib], axis=1
+    )
+    return wbar, bbar
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
+def _pallas_train_bwd(x_T, w_pack, b_pack, ubar, gbar, cfg: UDFConfig,
+                      tile: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d0_pad, n = x_T.shape
+    dims = _layer_dims(cfg)
+    row_max = max(o for _, o in dims)
+    sum_in = sum(i for i, _ in dims)
+    L = len(dims)
+
+    def kernel(x_ref, w_ref, b_ref, ub_ref, gb_ref, wbar_ref, bbar_ref):
+        wbar, bbar = _train_bwd_math(
+            x_ref[...], w_ref, b_ref, ub_ref[...], gb_ref[...], cfg
+        )
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            wbar_ref[...] = jnp.zeros_like(wbar_ref)
+            bbar_ref[...] = jnp.zeros_like(bbar_ref)
+
+        wbar_ref[...] += wbar
+        bbar_ref[...] += bbar
+
+    in_specs = [
+        pl.BlockSpec((d0_pad, tile), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d0_pad, tile), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = (
+        pl.BlockSpec((row_max, sum_in), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((row_max, L), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    wbar, bbar = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((row_max, sum_in), jnp.float32),
+            jax.ShapeDtypeStruct((row_max, L), jnp.float32),
+        ),
+        grid=(n // tile,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+    )(x_T, w_pack, b_pack, ubar, gbar)
+    return wbar, bbar
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _train_query(x_T, w_pack, b_pack, cfg: UDFConfig, tile_fwd: int,
+                 tile_bwd: int, interpret: bool):
+    """(x_T, packed weights) -> (udf (N,), g_inputs (d0_pad, N)).
+
+    Differentiable w.r.t. w_pack/b_pack only (x cotangent is zeros —
+    query points are stop-gradient in render_core).
+    """
+    return _pallas_value_and_grad(x_T, w_pack, b_pack, cfg, tile_fwd,
+                                  interpret, f32_residuals=True)
+
+
+def _train_query_fwd(x_T, w_pack, b_pack, cfg, tile_fwd, tile_bwd,
+                     interpret):
+    out = _pallas_value_and_grad(x_T, w_pack, b_pack, cfg, tile_fwd,
+                                 interpret, f32_residuals=True)
+    return out, (x_T, w_pack, b_pack)
+
+
+def _train_query_bwd(cfg, tile_fwd, tile_bwd, interpret, res, cots):
+    x_T, w_pack, b_pack = res
+    ubar, gbar = cots
+    wbar, bbar = _pallas_train_bwd(
+        x_T, w_pack, b_pack,
+        jnp.asarray(ubar, jnp.float32)[None, :],
+        jnp.asarray(gbar, jnp.float32),
+        cfg, tile_bwd, interpret,
+    )
+    return jnp.zeros_like(x_T), wbar, bbar
+
+
+_train_query.defvjp(_train_query_fwd, _train_query_bwd)
+
+
+def pallas_udf_train_value_and_gradient(
+    params, pts, cfg: UDFConfig, tile_fwd: int = 1024, tile_bwd: int = 256,
+    interpret: bool | None = None,
+):
+    """Training-path fused value + spatial gradient; pts (N, 3) ->
+    ((N,), (N, 3)), differentiable w.r.t. `params` (second order: the outer
+    loss gradient flows through the returned spatial gradient).
+
+    Drop-in for fields.udf.udf_value_and_gradient inside render_core when
+    the query points carry no gradient (they are stop-gradient z-values).
+    Weight-norm folding and the PE Jacobian run in XLA outside the kernel
+    and are differentiated by JAX automatically. The backward kernel keeps
+    ~3x the forward's per-tile state in VMEM (layer inputs, sigmoids, the
+    gradient chain's r/carry buffers), hence the smaller default tile.
+    """
+    if interpret is None:
+        interpret = not pallas_available()
+    if tile_fwd % tile_bwd:
+        raise ValueError("tile_bwd must divide tile_fwd (shared padding)")
+    tile = max(tile_fwd, tile_bwd)
+    w_pack, b_pack = pack_weights(params, cfg)
+    padded, n = _pad_pts(jnp.asarray(pts, jnp.float32), tile)
+    x_T = _encode_host(padded, cfg)
+    udf, g_inputs = _train_query(
+        x_T, w_pack, b_pack, cfg, tile_fwd, tile_bwd, interpret
+    )
+    grad = _pe_jacobian_host(padded, g_inputs, cfg)
+    return udf[:n], grad[:n]

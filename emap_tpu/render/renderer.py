@@ -103,6 +103,48 @@ class RenderConfig:
         return self.n_samples + self.n_importance_delivered
 
 
+def _use_pallas_train(udf_cfg: UDFConfig) -> bool:
+    if udf_cfg.pallas_train == "off":
+        return False
+    if udf_cfg.pallas_train == "on":
+        return True
+    from emap_tpu.kernels.mlp_query import pallas_available
+
+    return pallas_available()
+
+
+def _query_field(params, pts_flat, udf_cfg: UDFConfig, mesh=None,
+                 axis: str = "data"):
+    """Field value + spatial gradient at render_core's (stop-gradient)
+    sample points: the fused Pallas train kernel when enabled, else XLA
+    autodiff. Under a >1-device mesh the kernel is shard_mapped over the
+    point axis (params replicated; their cotangent is psummed by the
+    shard_map transpose) so GSPMD never sees an unpartitionable call."""
+    if not _use_pallas_train(udf_cfg):
+        return udf_value_and_gradient(params["udf"], pts_flat, udf_cfg)
+
+    from emap_tpu.kernels.mlp_train import (
+        pallas_udf_train_value_and_gradient,
+    )
+
+    if mesh is None or mesh.shape[axis] == 1:
+        return pallas_udf_train_value_and_gradient(
+            params["udf"], pts_flat, udf_cfg
+        )
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    fn = shard_map(
+        lambda p, x: pallas_udf_train_value_and_gradient(p, x, udf_cfg),
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(axis), P(axis)),
+        check_rep=False,
+    )
+    return fn(params["udf"], pts_flat)
+
+
 def render_core(
     params,
     rays_o: jnp.ndarray,
@@ -114,6 +156,8 @@ def render_core(
     cos_anneal_ratio,
     flip_saturation,
     background_rgb=None,
+    mesh=None,
+    axis: str = "data",
 ):
     """The hot op (reference render_core :418-677)."""
     batch, n = z_vals.shape
@@ -127,8 +171,8 @@ def render_core(
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
 
     pts_flat = pts.reshape(-1, 3)
-    udf_flat, gradients_flat = udf_value_and_gradient(
-        params["udf"], pts_flat, udf_cfg
+    udf_flat, gradients_flat = _query_field(
+        params, pts_flat, udf_cfg, mesh=mesh, axis=axis
     )
     udf = udf_flat.reshape(batch, n)
     gradients = gradients_flat.reshape(batch, n, 3)
@@ -270,6 +314,8 @@ def render(
     flip_saturation=0.0,
     perturb_overwrite: float = -1.0,
     background_rgb=None,
+    mesh=None,
+    axis: str = "data",
 ):
     """Render a batch of rays (reference render :679-800).
 
@@ -322,6 +368,8 @@ def render(
         cos_anneal_ratio,
         flip_saturation,
         background_rgb=background_rgb,
+        mesh=mesh,
+        axis=axis,
     )
 
     n_total = cfg.total_samples

@@ -404,7 +404,7 @@ class Runner:
             out = render(
                 params, rays_o, rays_d, near, far, depth_scale, key,
                 rcfg, ucfg, cos_anneal_ratio=anneal, flip_saturation=0.0,
-                background_rgb=bg,
+                background_rgb=bg, mesh=mesh,
             )
             n_total = rcfg.total_samples
             normals = jnp.sum(

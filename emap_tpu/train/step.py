@@ -162,6 +162,8 @@ def _build_train_step_fn(tcfg: TrainConfig, rcfg: RenderConfig,
                 ucfg,
                 cos_anneal_ratio=anneal,
                 flip_saturation=flip_sat,
+                mesh=mesh,
+                axis=axis,
             )
             e_loss = edge_loss_fn(out["edge"], true_edge, tcfg.loss_type)
             loss = (
