@@ -103,6 +103,19 @@ class RenderConfig:
         return self.n_samples + self.n_importance_delivered
 
 
+def _safe_l2norm(x, axis=-1, keepdims=False):
+    """L2 norm whose gradient is 0 at x == 0, matching torch.linalg.norm's
+    subgradient. jnp.linalg.norm backpropagates g/||g|| = 0/0 = NaN there;
+    the reference trains through torch's 0-subgradient, and the spatial
+    gradient CAN be exactly zero (abs-head UDF at y0 == 0.0 makes
+    d|y|/dy = sign(0) = 0 kill the whole reverse chain — observed in
+    training, see tests/test_render.py::test_eikonal_at_zero_gradient)."""
+    sq = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+    nz = sq > 0
+    norm = jnp.sqrt(jnp.where(nz, sq, 1.0))
+    return jnp.where(nz, norm, 0.0)
+
+
 def _use_pallas_train(udf_cfg: UDFConfig) -> bool:
     if udf_cfg.pallas_train == "off":
         return False
@@ -140,7 +153,7 @@ def _query_field(params, pts_flat, udf_cfg: UDFConfig, mesh=None,
         mesh=mesh,
         in_specs=(P(), P(axis)),
         out_specs=(P(axis), P(axis)),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(params["udf"], pts_flat)
 
@@ -177,7 +190,7 @@ def render_core(
     udf = udf_flat.reshape(batch, n)
     gradients = gradients_flat.reshape(batch, n, 3)
 
-    gradients_mag = jnp.linalg.norm(gradients, axis=-1, keepdims=True)
+    gradients_mag = _safe_l2norm(gradients, axis=-1, keepdims=True)
     gradients_norm = gradients / (gradients_mag + 1e-5)
 
     inv_s = jnp.clip(inv_s_value(params["variance"])[0], 1e-6, 1e6)
@@ -259,7 +272,7 @@ def render_core(
         (udf < cfg.near_surface).astype(z_vals.dtype)
     )
 
-    gradient_error_pt = (jnp.linalg.norm(gradients, axis=-1) - 1.0) ** 2
+    gradient_error_pt = (_safe_l2norm(gradients, axis=-1) - 1.0) ** 2
     gradient_error = jnp.sum(relax_inside_sphere * gradient_error_pt) / (
         jnp.sum(relax_inside_sphere) + 1e-5
     )

@@ -94,6 +94,8 @@ def main() -> dict:
                     "skip_in": [4], "multires": 10, "bias": 0.5, "scale": 1.0,
                     "geometric_init": True, "weight_norm": True,
                     "udf_type": "abs",
+                    "pallas_train": os.environ.get("E2E_PALLAS_TRAIN",
+                                                   "auto"),
                 },
                 "variance_network": {"init_val": 0.3},
                 "beta_network": {

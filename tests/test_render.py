@@ -383,3 +383,35 @@ class TestRenderProperties:
         assert np.isfinite(np.asarray(out["edge"])).all()
         assert np.isfinite(np.asarray(out["normals"])).all()
         assert out["weights"].shape == (batch, 26)
+
+
+class TestSafeNorm:
+    def test_eikonal_at_zero_gradient(self):
+        """d||g||/dg must be 0 (torch subgradient), not NaN, when the
+        spatial gradient is exactly zero — happens for the abs-head UDF at
+        y0 == 0.0 (sign(0) == 0 kills the reverse chain); observed with the
+        fused train kernel at training step 61 on the synthetic cube."""
+        from emap_tpu.render.renderer import _safe_l2norm
+
+        g = jnp.zeros((4, 3)).at[1:].set(1.0)
+
+        def loss(g):
+            err = (_safe_l2norm(g, axis=-1) - 1.0) ** 2
+            mag = _safe_l2norm(g, axis=-1, keepdims=True)
+            gn = g / (mag + 1e-5)
+            return jnp.sum(err) + jnp.sum(gn)
+
+        val = jax.jit(loss)(g)
+        grad = jax.jit(jax.grad(loss))(g)
+        assert bool(jnp.all(jnp.isfinite(grad)))
+        # the eikonal term alone has torch's 0 subgradient at g == 0
+        eik = jax.jit(jax.grad(
+            lambda g: jnp.sum((_safe_l2norm(g, axis=-1) - 1.0) ** 2)
+        ))(g)
+        assert bool(jnp.all(jnp.isfinite(eik)))
+        assert float(jnp.abs(eik[0, 0])) == 0.0
+        # primal identical to jnp.linalg.norm
+        ref = jnp.sum((jnp.linalg.norm(g, axis=-1) - 1.0) ** 2) + jnp.sum(
+            g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-5)
+        )
+        assert float(jnp.abs(val - ref)) < 1e-6
