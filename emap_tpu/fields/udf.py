@@ -64,11 +64,19 @@ class UDFConfig:
     # "on" forces it (interpret mode off-TPU, for tests); "off" keeps the
     # pure-XLA autodiff path.
     pallas_train: str = "auto"
+    # Matmul tier for the ADJOINT dots of the fused train kernel's backward
+    # (kernels/mlp_train.py). "" inherits `precision`. The primal-recompute
+    # dots (layer inputs / spatial-gradient chain) always run at `precision`;
+    # only the cotangent-side products use this tier. Gradient noise
+    # tolerance differs from primal tolerance, so this can be dropped to
+    # "default" (1-pass bf16) independently if measurement supports it.
+    bwd_precision: str = ""
 
     @classmethod
     def from_conf(cls, conf) -> "UDFConfig":
         return cls(
             precision=conf.get_string("precision", "high"),
+            bwd_precision=conf.get_string("bwd_precision", ""),
             pallas_train=conf.get_string("pallas_train", "auto"),
             d_in=conf.get_int("d_in", 3),
             d_out=conf.get_int("d_out", 1),

@@ -92,15 +92,20 @@ def _train_bwd_math(x, w_ref, b_ref, ubar, gbar, cfg: UDFConfig):
     row_max = max(o for _, o in dims)
     offs = np.concatenate([[0], np.cumsum([i for i, _ in dims])])
     prec = cfg.precision
+    # Adjoint-side dots may run at a lower tier than the primal recompute:
+    # the primal chain (us/ss/rs) reconstructs values the forward produced
+    # at `precision`, while the cotangent products only need gradient-noise
+    # accuracy (see UDFConfig.bwd_precision).
+    prec_b = cfg.bwd_precision or cfg.precision
 
     def W(l):
         return w_ref[:, int(offs[l]) : int(offs[l]) + dims[l][0]]
 
-    def dotT(l, v):
+    def dotT(l, v, p=prec):
         # W_l^T @ v contracting the out-feature axis; slice the packed
         # block's zero-padded rows down to out_l to match v.
         return _kernel_dot(
-            W(l)[: dims[l][1]], v, prec,
+            W(l)[: dims[l][1]], v, p,
             dimension_numbers=(((0,), (0,)), ((), ())),
         )
 
@@ -163,10 +168,10 @@ def _train_bwd_math(x, w_ref, b_ref, ubar, gbar, cfg: UDFConfig):
             q_hat = carryhat
         # Wbar_l += r_l q_hat^T : contract the T axis (axis 1 of both)
         w_contrib[l] = _kernel_dot(
-            rs[l], q_hat, prec,
+            rs[l], q_hat, prec_b,
             dimension_numbers=(((1,), (1,)), ((), ())),
         )
-        r_hat = _kernel_dot(W(l), q_hat, prec)[: dims[l][1]]
+        r_hat = _kernel_dot(W(l), q_hat, prec_b)[: dims[l][1]]
         if l < L - 1:
             s_hat[l] = r_hat * carries[l + 1]
             carryhat = r_hat * s32(l)
@@ -185,13 +190,13 @@ def _train_bwd_math(x, w_ref, b_ref, ubar, gbar, cfg: UDFConfig):
                 100.0 * s32(l) * (1.0 - s32(l))
             )
         w_contrib[l] = w_contrib[l] + _kernel_dot(
-            z_hat, us[l], prec,
+            z_hat, us[l], prec_b,
             dimension_numbers=(((1,), (1,)), ((), ())),
         )
         b_contrib[l] = jnp.sum(z_hat, axis=1, keepdims=True)
         if l == 0:
             break
-        u_hat = dotT(l, z_hat)  # (in_l, T)
+        u_hat = dotT(l, z_hat, prec_b)  # (in_l, T)
         if l in cfg.skip_in:
             a_hat = u_hat[:-d0, :] * _INV_SQRT2
         else:
