@@ -39,6 +39,8 @@ def chamfer_distance(x: np.ndarray, y: np.ndarray):
 
 
 def f_score(precision: float, recall: float) -> float:
+    if precision + recall == 0.0:  # degenerate field: nothing within thresh
+        return 0.0
     return 2 * precision * recall / (precision + recall)
 
 

@@ -112,17 +112,20 @@ def _run_point_batches(
     n_batches = (m + batch - 1) // batch
     padded = np.zeros((n_batches * batch, 3), np.float32)
     padded[:m] = pts_np
-    udf_out, nrm_out, ld_out = [], [], []
+    # Dispatch every batch before fetching any result: JAX dispatch is async,
+    # so the device (and the tunnel's transfers) pipeline across batches
+    # instead of paying one round-trip of dead time per batch.
+    pending = []
     for b in range(n_batches):
         kb = jax.random.fold_in(key, b)
         chunk_pts = jnp.asarray(padded[b * batch : (b + 1) * batch])
-        u, nv, ld = _point_batch_features(
+        pending.append(_point_batch_features(
             params, chunk_pts, kb, ucfg, sampling_n, sampling_delta,
             with_linedir, use_pallas,
-        )
-        udf_out.append(np.asarray(u))
-        nrm_out.append(np.asarray(nv))
-        ld_out.append(np.asarray(ld))
+        ))
+    udf_out = [np.asarray(u) for u, _, _ in pending]
+    nrm_out = [np.asarray(nv) for _, nv, _ in pending]
+    ld_out = [np.asarray(ld) for _, _, ld in pending]
     return (
         np.concatenate(udf_out)[:m],
         np.concatenate(nrm_out)[:m],
@@ -195,21 +198,22 @@ def extract_pointcloud(
     is_linedirection: bool = False,
     seed: int = 42,
     grid_chunk: int = 1 << 20,
-    point_batch: int = 4096,
+    point_batch: int | None = None,
     use_pallas: bool | None = None,
 ):
     """Edge point cloud from the UDF (reference get_pointcloud_from_udf
     :212-293). Returns (points (M,3), line_directions (M,3)) numpy arrays.
 
-    use_pallas=None (auto, the default) routes the dense GRID queries through
-    the fused feature-major Pallas kernel when on a real TPU -- measured
-    1.53x vs XLA at the 256^3 workload with 1M-point chunks
-    (scripts/bench_extraction.py) -- and keeps the candidate FEATURE batches
-    on XLA autodiff: at the 4096-candidate batch size that the 51x jitter
-    blowup and vjp-residual memory allow, per-call dispatch dominates and
-    XLA measures faster there (the kernel's 1.48x fwd+grad win needs >=262k
-    points per call, scripts/bench_kernels.py). Pass True/False to force
-    both paths on/off.
+    use_pallas=None (auto, the default) routes both the dense GRID queries
+    and the candidate FEATURE batches through the fused feature-major Pallas
+    kernels when on a real TPU -- measured 1.53x vs XLA at the 256^3 grid
+    with 1M-point chunks, and the fwd+grad kernel wins 1.48x at >=262k
+    points per call (scripts/bench_kernels.py). The kernel computes
+    value+grad directly (no vjp residuals), so the feature batch can be far
+    larger than XLA autodiff allows: point_batch=None auto-picks 16384
+    candidates (x51 jitter = 836k points/call) on the kernel path and the
+    residual-bound 4096 on the XLA path. Pass True/False to force both
+    paths on/off.
 
     grid_chunk defaults to 1M points per dispatch: at 64k chunks the 256^3
     grid spends ~57 ms/call on dispatch + result fetch vs ~2 ms compute.
@@ -217,20 +221,26 @@ def extract_pointcloud(
     if use_pallas is None:
         from emap_tpu.kernels import pallas_available
 
-        grid_pallas = pallas_available()
-        feature_pallas = False
+        grid_pallas = feature_pallas = pallas_available()
     else:
         grid_pallas = feature_pallas = use_pallas
+    if point_batch is None:
+        point_batch = 16384 if feature_pallas else 4096
     key = jax.random.key(seed)
     N = resolution
     total = N**3
     chunk = min(grid_chunk, total)
 
     # --- phase 1: dense UDF over the grid (device, fixed-shape chunks) ---
+    # Dispatch all chunks before fetching (async dispatch pipelines the
+    # device work and transfers; ~64 MB of f32 results stay on device).
     udf_vals = np.empty((total,), np.float32)
-    for start in range(0, total, chunk):
-        vals = _grid_udf_chunk(params, jnp.int32(start), chunk, N, ucfg,
-                               grid_pallas)
+    starts = list(range(0, total, chunk))
+    pending = [
+        _grid_udf_chunk(params, jnp.int32(s), chunk, N, ucfg, grid_pallas)
+        for s in starts
+    ]
+    for start, vals in zip(starts, pending):
         n_here = min(chunk, total - start)
         udf_vals[start : start + n_here] = np.asarray(vals)[:n_here]
 

@@ -451,8 +451,10 @@ class Runner:
 
         outs = {"edge": [], "depth": [], "normals": []}
         key = jax.random.key(int(self.state.step))
-        for c in range(0, len(flat_o), chunk):
-            res = self._render_chunk(
+        # Dispatch every chunk before fetching any result so the chunks
+        # pipeline on device instead of paying a host round-trip each.
+        pending = [
+            self._render_chunk(
                 self.state.params,
                 jnp.asarray(flat_o[c : c + chunk]),
                 jnp.asarray(flat_d[c : c + chunk]),
@@ -460,6 +462,9 @@ class Runner:
                 jax.random.fold_in(key, c),
                 jnp.float32(anneal),
             )
+            for c in range(0, len(flat_o), chunk)
+        ]
+        for res in pending:
             for k in outs:
                 outs[k].append(np.asarray(res[k]))
 
