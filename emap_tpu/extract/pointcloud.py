@@ -58,6 +58,22 @@ def _grid_udf_chunk(params, flat_start, chunk: int, N: int, ucfg: UDFConfig,
 
 
 @functools.partial(
+    jax.jit, static_argnames=("chunk", "N", "ucfg", "use_pallas")
+)
+def _grid_mask_chunk(params, flat_start, thresh, chunk: int, N: int,
+                     ucfg: UDFConfig, use_pallas: bool = False):
+    """Near-surface bitmask for one grid chunk, packed 8 voxels/byte.
+
+    The dense grid values themselves are never needed on the host — only
+    which voxels are near-surface (and those voxels' udf, which the feature
+    sweep re-queries anyway) — so fetch chunk/8 bytes instead of chunk*4:
+    a 32x smaller device->host transfer for the 256^3 (64 MB) grid.
+    """
+    vals = _grid_udf_chunk(params, flat_start, chunk, N, ucfg, use_pallas)
+    return jnp.packbits(jnp.maximum(vals, 0.0) <= thresh)
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("ucfg", "sampling_n", "with_linedir", "use_pallas"),
 )
@@ -197,7 +213,7 @@ def extract_pointcloud(
     iters: int = 1,
     is_linedirection: bool = False,
     seed: int = 42,
-    grid_chunk: int = 1 << 20,
+    grid_chunk: int = 1 << 22,
     point_batch: int | None = None,
     use_pallas: bool | None = None,
 ):
@@ -210,13 +226,17 @@ def extract_pointcloud(
     with 1M-point chunks, and the fwd+grad kernel wins 1.48x at >=262k
     points per call (scripts/bench_kernels.py). The kernel computes
     value+grad directly (no vjp residuals), so the feature batch can be far
-    larger than XLA autodiff allows: point_batch=None auto-picks 16384
-    candidates (x51 jitter = 836k points/call) on the kernel path and the
-    residual-bound 4096 on the XLA path. Pass True/False to force both
-    paths on/off.
+    larger than XLA autodiff allows: point_batch=None auto-picks 65536
+    candidates (x51 jitter = 3.3M points/call; XLA's jvp would need 21 GB
+    of activations there) on the kernel path and the residual-bound 4096 on
+    the XLA path. Per-dispatch overhead dominates this phase (measured
+    ~0.1-0.3 s/dispatch through the tunneled runtime at any batch size), so
+    fewer, larger batches win: 5.2 s -> 0.65 s for the 236k-candidate
+    feature sweep going 4096 -> 65536. Pass True/False to force both paths
+    on/off.
 
-    grid_chunk defaults to 1M points per dispatch: at 64k chunks the 256^3
-    grid spends ~57 ms/call on dispatch + result fetch vs ~2 ms compute.
+    grid_chunk defaults to 4M points per dispatch for the same reason; with
+    the packed-bitmask fetch the result transfer is 512 KB per chunk.
     """
     if use_pallas is None:
         from emap_tpu.kernels import pallas_available
@@ -225,29 +245,27 @@ def extract_pointcloud(
     else:
         grid_pallas = feature_pallas = use_pallas
     if point_batch is None:
-        point_batch = 16384 if feature_pallas else 4096
+        point_batch = 65536 if feature_pallas else 4096
     key = jax.random.key(seed)
     N = resolution
     total = N**3
     chunk = min(grid_chunk, total)
+    chunk += (-chunk) % 8  # packbits: each chunk must pack whole bytes
 
-    # --- phase 1: dense UDF over the grid (device, fixed-shape chunks) ---
+    # --- phase 1: near-surface bitmask over the grid (device chunks) ---
     # Dispatch all chunks before fetching (async dispatch pipelines the
-    # device work and transfers; ~64 MB of f32 results stay on device).
-    udf_vals = np.empty((total,), np.float32)
+    # device work); only packed bits cross the tunnel, never grid values.
     starts = list(range(0, total, chunk))
     pending = [
-        _grid_udf_chunk(params, jnp.int32(s), chunk, N, ucfg, grid_pallas)
+        _grid_mask_chunk(params, jnp.int32(s), jnp.float32(udf_threshold),
+                         chunk, N, ucfg, grid_pallas)
         for s in starts
     ]
-    for start, vals in zip(starts, pending):
-        n_here = min(chunk, total - start)
-        udf_vals[start : start + n_here] = np.asarray(vals)[:n_here]
+    mask = np.concatenate([np.asarray(p) for p in pending])
+    near = np.unpackbits(mask, count=total).astype(bool)
 
-    np.clip(udf_vals, 0.0, None, out=udf_vals)
-
-    # --- phase 2: near-surface candidates (single host gather) ---
-    cand_idx = np.nonzero(udf_vals <= udf_threshold)[0]
+    # --- phase 2: candidate coords + first feature sweep ---
+    cand_idx = np.nonzero(near)[0]
     voxel = 2.0 / (N - 1)
     xyz = np.stack(
         [
@@ -257,13 +275,15 @@ def extract_pointcloud(
         ],
         axis=-1,
     ).astype(np.float32) * voxel - 1.0
-    df = udf_vals[cand_idx]
 
     want_dirs_now = is_linedirection and not (is_pointshift and iters > 0)
-    _, normals, line_dirs = _run_point_batches(
+    # The sweep re-queries the udf at each candidate, so the grid values
+    # never need to be fetched from the device.
+    df, normals, line_dirs = _run_point_batches(
         params, ucfg, xyz, jax.random.fold_in(key, 0), sampling_N,
         sampling_delta, want_dirs_now, point_batch, feature_pallas,
     )
+    df = np.maximum(df, 0.0)
 
     # --- phase 3: point shift toward the zero set (reference :271-288) ---
     if is_pointshift and iters > 0:

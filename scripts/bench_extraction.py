@@ -38,32 +38,34 @@ def bench_field_phases(res: int, thresh: float, use_pallas: bool):
     ucfg = UDFConfig()
     params = {"udf": init_udf_params(jax.random.key(0), ucfg)}["udf"]
 
-    N, total, chunk = res, res**3, int(os.environ.get("EXT_CHUNK", str(1 << 20)))
+    N, total, chunk = res, res**3, int(os.environ.get("EXT_CHUNK", str(1 << 22)))
+    chunk += (-chunk) % 8
     key = jax.random.key(42)
+    th = jnp.float32(thresh)
 
     # warm the compiles outside the timed regions
     _ = np.asarray(
-        pc._grid_udf_chunk(params, jnp.int32(0), chunk, N, ucfg, use_pallas)
+        pc._grid_mask_chunk(params, jnp.int32(0), th, chunk, N, ucfg,
+                            use_pallas)
     )
 
     t0 = time.perf_counter()
-    udf_vals = np.empty((total,), np.float32)
-    for start in range(0, total, chunk):
-        vals = pc._grid_udf_chunk(
-            params, jnp.int32(start), chunk, N, ucfg, use_pallas,
-        )
-        n_here = min(chunk, total - start)
-        udf_vals[start : start + n_here] = np.asarray(vals)[:n_here]
+    starts = list(range(0, total, chunk))
+    pending = [
+        pc._grid_mask_chunk(params, jnp.int32(s), th, chunk, N, ucfg,
+                            use_pallas)
+        for s in starts
+    ]
+    mask = np.concatenate([np.asarray(p) for p in pending])
+    near = np.unpackbits(mask, count=total).astype(bool)
     t_grid = time.perf_counter() - t0
-    np.clip(udf_vals, 0.0, None, out=udf_vals)
 
-    cand_idx = np.nonzero(udf_vals <= thresh)[0]
+    cand_idx = np.nonzero(near)[0]
     voxel = 2.0 / (N - 1)
     xyz = np.stack(
         [(cand_idx // (N * N)) % N, (cand_idx // N) % N, cand_idx % N],
         axis=-1,
     ).astype(np.float32) * voxel - 1.0
-    df = udf_vals[cand_idx]
 
     print(json.dumps({
         "phase": "grid", "resolution": N, "queries": total,
@@ -73,17 +75,18 @@ def bench_field_phases(res: int, thresh: float, use_pallas: bool):
     }), flush=True)
 
     t0 = time.perf_counter()
-    df2, normals, _ = pc._run_point_batches(
+    df, normals, _ = pc._run_point_batches(
         params, ucfg, xyz, jax.random.fold_in(key, 0), 50, 0.005,
-        False, int(os.environ.get("EXT_PBATCH", "4096")), use_pallas,
+        False, int(os.environ.get("EXT_PBATCH", "65536")), use_pallas,
     )
     t_feat0 = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    df = np.maximum(df, 0.0)
     xyz2 = xyz + df[:, None] * normals
     df3, normals3, ld = pc._run_point_batches(
         params, ucfg, xyz2, jax.random.fold_in(key, 1), 50, 0.005,
-        True, int(os.environ.get("EXT_PBATCH", "4096")), use_pallas,
+        True, int(os.environ.get("EXT_PBATCH", "65536")), use_pallas,
     )
     t_shift = time.perf_counter() - t0
     grad_queries = len(xyz2) * 51  # 50 jittered + 1 center
