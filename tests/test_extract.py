@@ -174,6 +174,34 @@ def circle_field():
     return params, ucfg
 
 
+class TestGridMaskChunk:
+    def test_packed_mask_matches_value_threshold(self, circle_field):
+        """The packed-bitmask grid fetch selects exactly the voxels the
+        fetched-values path would (clip-to-0 then <= thresh semantics)."""
+        from emap_tpu.extract.pointcloud import (
+            _grid_mask_chunk,
+            _grid_udf_chunk,
+        )
+
+        params, ucfg = circle_field
+        N, chunk, thresh = 24, 4608, 0.05
+        total = N**3
+        ref_bits, got_bits = [], []
+        for start in range(0, total, chunk):
+            vals = np.asarray(
+                _grid_udf_chunk(params, jnp.int32(start), chunk, N, ucfg)
+            )
+            ref_bits.append(np.maximum(vals, 0.0) <= thresh)
+            packed = np.asarray(_grid_mask_chunk(
+                params, jnp.int32(start), jnp.float32(thresh), chunk, N, ucfg
+            ))
+            got_bits.append(np.unpackbits(packed, count=chunk).astype(bool))
+        ref = np.concatenate(ref_bits)[:total]
+        got = np.concatenate(got_bits)[:total]
+        assert ref.sum() > 0  # the near-surface shell is non-empty
+        np.testing.assert_array_equal(got, ref)
+
+
 class TestExtractPointcloud:
     def test_extracts_circle(self, circle_field):
         from emap_tpu.extract import extract_pointcloud
