@@ -57,6 +57,18 @@ def compute_precision_recall_iou(
     otherwise: returns (correct_gt_list, num_gt, correct_pred_list, num_pred,
     acc, comp) for the per-type totals protocol.
     """
+    if len(pred) == 0:
+        # degenerate prediction (nothing extracted): all-zero metrics rather
+        # than a division crash (the reference would raise here too; a zero
+        # row is the more useful behavior for short-schedule smoke runs)
+        if edge_type == "all":
+            for thresh in thresh_list:
+                for name in ("precision", "recall", "fscore", "IOU"):
+                    metrics[f"{name}_{thresh}"].append(0.0)
+            return metrics
+        return ([0] * len(thresh_list), len(gt), [0] * len(thresh_list), 0,
+                float("inf"), float("inf"))
+
     d_pred_gt = _nn_dists(pred, gt)
     d_gt_pred = _nn_dists(gt, pred)
 

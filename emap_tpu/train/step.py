@@ -301,6 +301,42 @@ def build_packed_train_step(tcfg, rcfg, ucfg, n_images, donate=None,
     return jax.jit(packed, donate_argnums=donate_argnums)
 
 
+def build_chained_train_step(tcfg, rcfg, ucfg, n_images, chain: int,
+                             donate=None, mesh=None, axis: str = "data"):
+    """`chain` train steps in ONE device dispatch via lax.scan.
+
+    Returns jitted (state, pool) -> (state_after_chain, (chain, M) metric
+    rows, one per step, same layout as build_packed_train_step).
+
+    Rationale: through the tunneled runtime each dispatch costs ~0.1-0.3 s of
+    host-side RPC regardless of compute, which caps the per-step loop at ~5x
+    below the device's steady-state rate (bench.py measures the pipelined
+    rate; the production loop pays the per-dispatch cost). Chaining K steps
+    on device amortizes that cost K-fold. Everything the step needs is
+    already functional state (RNG key, step counter, trainability gates, LR
+    schedules as functions of step), so scan produces bit-identical
+    trajectories to K single-step calls.
+    """
+    base = _build_train_step_fn(tcfg, rcfg, ucfg, n_images, mesh=mesh,
+                                axis=axis)
+
+    def chained(state, pool):
+        def body(s, _):
+            ns, m = base(s, pool)
+            vec = jnp.stack(
+                [jnp.asarray(m[k], jnp.float32) for k in METRIC_KEYS]
+            )
+            return ns, vec
+
+        new_state, vecs = jax.lax.scan(body, state, None, length=chain)
+        return new_state, vecs
+
+    if donate is None:
+        donate = donation_supported()
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(chained, donate_argnums=donate_argnums)
+
+
 def unpack_metrics(vec) -> dict:
     import numpy as np
 

@@ -44,6 +44,26 @@ class TestMetrics:
 
     def test_fscore(self):
         assert f_score(1.0, 0.5) == pytest.approx(2 / 3)
+        assert f_score(0.0, 0.0) == 0.0  # degenerate field, no crash
+
+    def test_empty_pred_zero_metrics(self, rng):
+        """An empty prediction (nothing extracted on a short schedule)
+        yields all-zero rows instead of a division crash."""
+        gt = rng.uniform(-1, 1, size=(100, 3)).astype(np.float32)
+        metrics = {
+            f"{name}_{t}": []
+            for name in ("precision", "recall", "fscore", "IOU")
+            for t in (0.01,)
+        }
+        compute_precision_recall_iou(
+            np.zeros((0, 3), np.float32), gt, metrics, [0.01], "all"
+        )
+        for k in metrics:
+            assert metrics[k] == [0.0]
+        cg, ngt, cp, npred, acc, comp = compute_precision_recall_iou(
+            np.zeros((0, 3), np.float32), gt, None, [0.01], "line"
+        )
+        assert cg == [0] and cp == [0] and ngt == 100 and npred == 0
 
 
 class TestDownsample:

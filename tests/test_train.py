@@ -133,6 +133,41 @@ class TestTrainStep:
         # edge loss should drop substantially on the tiny scene
         assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.9
 
+    def test_chained_step_matches_single_steps(self, tiny_setup):
+        """K steps in one lax.scan dispatch produce the same trajectory and
+        per-step metric rows as K single packed-step dispatches (all RNG and
+        gating lives in TrainState, so chaining changes dispatch count
+        only)."""
+        from emap_tpu.train.step import (
+            build_chained_train_step,
+            build_packed_train_step,
+        )
+
+        scene, pool, ucfg, rcfg, tcfg = tiny_setup
+        K = 4
+        single = build_packed_train_step(tcfg, rcfg, ucfg, scene.n_images,
+                                         donate=False)
+        chained = build_chained_train_step(tcfg, rcfg, ucfg, scene.n_images,
+                                           K, donate=False)
+
+        s_ref = init_train_state(3, ucfg)
+        rows_ref = []
+        for _ in range(K):
+            s_ref, vec = single(s_ref, pool)
+            rows_ref.append(np.asarray(vec))
+        s_chn, rows = chained(init_train_state(3, ucfg), pool)
+        rows = np.asarray(rows)
+
+        assert int(s_chn.step) == int(s_ref.step) == K
+        np.testing.assert_allclose(rows, np.stack(rows_ref), rtol=2e-5,
+                                   atol=1e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s_chn.params),
+            jax.tree_util.tree_leaves(s_ref.params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=1e-7)
+
     def test_state_flags_and_metrics(self, tiny_setup):
         scene, pool, ucfg, rcfg, tcfg = tiny_setup
         state = init_train_state(0, ucfg)
