@@ -131,7 +131,9 @@ def test_cli_trains_multidevice(runner_conf, tmp_path):
 
     conf = config.Config(json.loads(json.dumps(runner_conf.as_dict())))
     conf["general"]["base_exp_dir"] = str(tmp_path / "exp_cli")
-    conf["train"]["end_iter"] = 4
+    # 10 steps with report_freq 5 -> the 5-step chained dispatch engages
+    # twice UNDER the mesh (scan-of-sharded-steps is the production shape)
+    conf["train"]["end_iter"] = 10
     conf["train"]["val_freq"] = 100  # skip validation for speed
     conf["train"]["save_freq"] = 100
     conf_path = tmp_path / "cli.conf"
