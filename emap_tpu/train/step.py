@@ -316,6 +316,11 @@ def build_chained_train_step(tcfg, rcfg, ucfg, n_images, chain: int,
     already functional state (RNG key, step counter, trainability gates, LR
     schedules as functions of step), so scan produces bit-identical
     trajectories to K single-step calls.
+
+    Compile cost is length-independent (the scan body compiles once:
+    measured 20.9 s single-step vs 18-26 s for chain 10/100/500 on the CPU
+    backend), so there is no reason to pick a short chain; the production
+    wall-clock win measured 39 -> ~11 min on the 50k-step e2e schedule.
     """
     base = _build_train_step_fn(tcfg, rcfg, ucfg, n_images, mesh=mesh,
                                 axis=axis)
