@@ -106,6 +106,13 @@ def test_runner_train_validate_checkpoint_extract(runner_conf):
     runner2.load_checkpoint()
     assert int(runner2.state.step) == 10
 
+    # resumed training continues through the chained dispatch (chain=5 from
+    # the 5-step cadences): 10->20 chained, then a 3-step single-step tail
+    # for the non-multiple end_iter
+    runner2.end_iter = 23
+    runner2.train()
+    assert int(runner2.state.step) == 23
+
     # extraction writes the reference's artifact set
     edge_dict = runner2.extract_edge(
         resolution=16, udf_threshold=0.3, sampling_N=8, sampling_delta=0.01,
