@@ -124,6 +124,24 @@ def _tiny_setup(pallas_train, scene, pool, mesh=None):
 
 
 class TestTrainStepIntegration:
+    def test_auto_gate_routes_highest_to_xla(self):
+        """precision=highest cannot lower through the backward kernel
+        (Mosaic scoped-VMEM stack OOM on v5e: 38.4M vs the 16M limit), and a
+        user pinning HIGHEST wants exact f32 -- auto mode must route it to
+        XLA autodiff. "on" still forces the kernel."""
+        from emap_tpu.render.renderer import _use_pallas_train
+
+        assert not _use_pallas_train(UDFConfig(precision="highest"))
+        assert not _use_pallas_train(
+            UDFConfig(precision="high", bwd_precision="highest")
+        )
+        assert _use_pallas_train(
+            UDFConfig(precision="highest", pallas_train="on")
+        )
+        assert not _use_pallas_train(
+            UDFConfig(precision="highest", pallas_train="off")
+        )
+
     def test_step_with_kernel_matches_xla_step(self, tiny_pool):
         """One full train step with the fused kernel (forced, interpret)
         reproduces the XLA step's loss and updated params."""
