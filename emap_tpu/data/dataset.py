@@ -101,12 +101,17 @@ def load_scene(conf) -> SceneData:
     intrinsics = np.stack(intrinsics).astype(np.float32)
     poses = np.stack(poses).astype(np.float32)
 
-    edges = np.stack(
-        [cv2.imread(p, 0).astype(np.float32) / 255.0 for p in edge_paths]
-    )
-    colors = np.stack(
-        [cv2.imread(p).astype(np.float32) / 255.0 for p in color_paths]
-    )
+    def _read(path, flags=None):
+        img = cv2.imread(path) if flags is None else cv2.imread(path, flags)
+        if img is None:  # cv2 returns None silently on a missing file
+            raise FileNotFoundError(
+                f"cannot read image {path!r} (check dataset.data_dir and "
+                f"that the dataset.detector edge-map directory exists)"
+            )
+        return img.astype(np.float32) / 255.0
+
+    edges = np.stack([_read(p, 0) for p in edge_paths])
+    colors = np.stack([_read(p) for p in color_paths])
 
     return SceneData(
         scan=scan,
