@@ -105,7 +105,12 @@ def _point_batch_features(
     # normalize like the reference's func_grad (gradient / (|gradient|+1e-5))
     g = g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-5)
     # null space of the gradient bundle: smallest-eigenvalue eigenvector of
-    # the 3x3 Gram matrix (== last right-singular vector of the (n,3) SVD)
+    # the 3x3 Gram matrix (== last right-singular vector of the (n,3) SVD).
+    # Keep jnp.linalg.eigh here: a closed-form Cardano eigensolver was tried
+    # (round 3) and costs real quality -- f32 cancellation in lam_min (~1e-2
+    # scale against a trace of ~n) degrades the null-space vector enough to
+    # drop F@5mm 0.62 -> 0.41 on an identical checkpoint. eigh is ~134 ms
+    # per 65k batch, ~0.5 s of a 10 s extraction; not worth the accuracy.
     gram = jnp.einsum("bni,bnj->bij", g, g)
     _, vecs = jnp.linalg.eigh(gram)  # ascending eigenvalues
     line_dir = vecs[:, :, 0]
