@@ -246,7 +246,8 @@ def extract_pointcloud(
     if use_pallas is None:
         from emap_tpu.kernels import pallas_available
 
-        grid_pallas = feature_pallas = pallas_available()
+        # kernels are specialized for the scalar-UDF head (d_out == 1)
+        grid_pallas = feature_pallas = pallas_available() and ucfg.d_out == 1
     else:
         grid_pallas = feature_pallas = use_pallas
     if point_batch is None:

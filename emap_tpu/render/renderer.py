@@ -119,6 +119,12 @@ def _safe_l2norm(x, axis=-1, keepdims=False):
 def _use_pallas_train(udf_cfg: UDFConfig) -> bool:
     if udf_cfg.pallas_train == "off":
         return False
+    if udf_cfg.d_out != 1:
+        # The fused kernels are specialized for the scalar-UDF head (the
+        # reverse chain seeds from the d_out=1 output row); feature-channel
+        # nets (unused by the pipeline, like the reference's rendering net
+        # inputs) take the XLA path.
+        return False
     if udf_cfg.pallas_train == "on":
         return True
     if "highest" in (udf_cfg.precision, udf_cfg.bwd_precision):

@@ -141,6 +141,9 @@ class TestTrainStepIntegration:
         assert not _use_pallas_train(
             UDFConfig(precision="highest", pallas_train="off")
         )
+        # kernels are specialized for the scalar head; d_out != 1 (feature
+        # channels, unused by the pipeline) must take XLA even when forced
+        assert not _use_pallas_train(UDFConfig(d_out=2, pallas_train="on"))
 
     def test_step_with_kernel_matches_xla_step(self, tiny_pool):
         """One full train step with the fused kernel (forced, interpret)
