@@ -51,6 +51,44 @@ def sample_cube_edge_points(half: float = 0.5, spacing: float = 0.005):
     return np.concatenate(pts).astype(np.float32)
 
 
+def ring_edges(radius: float = 0.5, n_chords: int = 96) -> np.ndarray:
+    """Chord segments of three orthogonal circles of `radius` centered at
+    the origin (one per coordinate plane), shape (3*n_chords, 2, 3).
+
+    A curve-only wireframe: exercises the Bezier-fitting / curve-merging /
+    curve-eval paths the way ABC's curve-heavy CAD scans do, where the cube
+    scene is line-dominated."""
+    theta = np.linspace(0.0, 2.0 * np.pi, n_chords + 1)
+    c, s = radius * np.cos(theta), radius * np.sin(theta)
+    z = np.zeros_like(c)
+    circles = [
+        np.stack([c, s, z], axis=1),  # xy-plane
+        np.stack([c, z, s], axis=1),  # xz-plane
+        np.stack([z, c, s], axis=1),  # yz-plane
+    ]
+    segs = [
+        np.stack([pts[:-1], pts[1:]], axis=1) for pts in circles
+    ]
+    return np.concatenate(segs)
+
+
+def sample_ring_edge_points(radius: float = 0.5, spacing: float = 0.005):
+    """Densely sampled GT points along the three rings (for eval)."""
+    n = max(int(2.0 * np.pi * radius / spacing), 8)
+    theta = np.linspace(0.0, 2.0 * np.pi, n, endpoint=False)
+    c, s = radius * np.cos(theta), radius * np.sin(theta)
+    z = np.zeros_like(c)
+    pts = np.concatenate([
+        np.stack([c, s, z], axis=1),
+        np.stack([c, z, s], axis=1),
+        np.stack([z, c, s], axis=1),
+    ])
+    return pts.astype(np.float32)
+
+
+_OBJECTS = {"cube": cube_edges, "rings": ring_edges}
+
+
 def _look_at(eye: np.ndarray, target: np.ndarray) -> np.ndarray:
     """Camera-to-world pose, OpenCV convention (z forward, y down)."""
     forward = target - eye
@@ -81,9 +119,12 @@ def make_synthetic_scene(
     detector: str = "DexiNed",
     line_px: int = 1,
     seed: int = 0,
+    obj: str = "cube",
 ) -> str:
-    """Write a synthetic cube-wireframe scan under out_dir/<scan>/.
+    """Write a synthetic wireframe scan under out_dir/<scan>/.
 
+    obj selects the wireframe: "cube" (12 line segments) or "rings" (three
+    orthogonal circles — curve-only, exercising the Bezier paths).
     Returns the scan directory. Edge maps are white (=edge) on black,
     matching the training-time convention of the ABC-NEF DexiNed maps.
     """
@@ -103,7 +144,7 @@ def make_synthetic_scene(
     )
 
     rng = np.random.default_rng(seed)
-    segments = cube_edges(0.5)
+    segments = _OBJECTS[obj](0.5)
 
     frames = []
     # golden-spiral view distribution over the full sphere

@@ -34,6 +34,7 @@ def main() -> dict:
     from emap_tpu.data.synthetic import (
         make_synthetic_scene,
         sample_cube_edge_points,
+        sample_ring_edge_points,
     )
     from emap_tpu.eval.metrics import (
         chamfer_distance,
@@ -51,7 +52,9 @@ def main() -> dict:
     out_dir = os.environ.get("E2E_OUT", tempfile.mkdtemp(prefix="emap_e2e_"))
 
     data_dir = os.path.join(out_dir, "data")
-    make_synthetic_scene(data_dir, scan="cube000", n_views=n_views, H=img, W=img)
+    obj = os.environ.get("E2E_OBJ", "cube")
+    make_synthetic_scene(data_dir, scan="cube000", n_views=n_views, H=img,
+                         W=img, obj=obj)
 
     conf = config.Config(
         {
@@ -148,7 +151,8 @@ def main() -> dict:
     pred = downsample_point_cloud_average(
         pred.astype(np.float32), 256, [-1, -1, -1], [1, 1, 1]
     )
-    gt = sample_cube_edge_points(0.5, spacing=0.005)
+    gt = (sample_ring_edge_points(0.5, spacing=0.005) if obj == "rings"
+          else sample_cube_edge_points(0.5, spacing=0.005))
 
     metrics = {
         f"{name}_{t}": []

@@ -129,6 +129,7 @@ def ensure_scene() -> None:
     if not os.path.isfile(os.path.join(scan_dir, "meta_data.json")):
         make_synthetic_scene(
             os.path.join(OUT, "data"), scan="cube000", n_views=VIEWS,
+            obj=os.environ.get("PARITY_OBJ", "cube"),
             H=IMG, W=IMG,
         )
 
@@ -279,7 +280,10 @@ def score_side(side: str, ckpt_name: str) -> dict:
     import numpy as np
 
     from emap_tpu import config
-    from emap_tpu.data.synthetic import sample_cube_edge_points
+    from emap_tpu.data.synthetic import (
+        sample_cube_edge_points,
+        sample_ring_edge_points,
+    )
     from emap_tpu.eval.metrics import (
         chamfer_distance,
         compute_precision_recall_iou,
@@ -307,7 +311,9 @@ def score_side(side: str, ckpt_name: str) -> dict:
     pred = downsample_point_cloud_average(
         pred.astype(np.float32), 256, [-1, -1, -1], [1, 1, 1]
     )
-    gt = sample_cube_edge_points(0.5, spacing=0.005)
+    gt = (sample_ring_edge_points(0.5, spacing=0.005)
+          if os.environ.get("PARITY_OBJ", "cube") == "rings"
+          else sample_cube_edge_points(0.5, spacing=0.005))
     metrics = {
         f"{name}_{t}": []
         for name in ("precision", "recall", "fscore", "IOU")

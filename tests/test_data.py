@@ -56,6 +56,38 @@ class TestSceneLoading:
             scene.masks, (scene.edges > 0.5).astype(np.float32)
         )
 
+    def test_rings_object(self, tmp_path):
+        """The curve-only 'rings' wireframe renders and its GT sampler lies
+        on the three orthogonal circles."""
+        from emap_tpu.data.synthetic import (
+            ring_edges,
+            sample_ring_edge_points,
+        )
+
+        segs = ring_edges(0.5)
+        assert segs.shape == (3 * 96, 2, 3)
+        # every segment endpoint is radius 0.5 from origin
+        np.testing.assert_allclose(
+            np.linalg.norm(segs.reshape(-1, 3), axis=1), 0.5, atol=1e-9
+        )
+        gt = sample_ring_edge_points(0.5, spacing=0.005)
+        np.testing.assert_allclose(
+            np.linalg.norm(gt, axis=1), 0.5, atol=1e-6
+        )
+        # one coordinate is ~0 on each ring (points lie in coordinate planes)
+        assert np.all(np.min(np.abs(gt), axis=1) < 1e-6)
+
+        d = make_synthetic_scene(str(tmp_path), scan="rings0", n_views=3,
+                                 H=48, W=48, obj="rings")
+        import os
+
+        import cv2
+
+        img = cv2.imread(
+            os.path.join(d, "edge_DexiNed", "000.png"), 0
+        )
+        assert (img > 128).mean() > 0.001  # rings appear in the edge map
+
 
 class TestRayGeneration:
     def test_rays_unit_norm_and_hit_scene(self, scene):
