@@ -89,6 +89,7 @@ def main() -> dict:
                 "report_freq": 500,
                 "igr_weight": 0.1,
                 "igr_ns_weight": 0.0,
+                "seed": int(os.environ.get("E2E_SEED", "42")),
             },
             "edge_loss": {"edge_weight": 1.0, "loss_type": "mse"},
             "model": {
