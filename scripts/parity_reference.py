@@ -199,12 +199,14 @@ def run_reference() -> None:
 
     from emap_tpu import config
 
-    # reference main.py seed protocol (main.py:10-18)
-    torch.manual_seed(42)
-    np.random.seed(42)
+    # reference main.py seed protocol (main.py:10-18); main.py hard-codes 42,
+    # but multi-seed parity (VERDICT r1 item 1) needs the reference's seed
+    # varied the same way ours is -- PARITY_SEED drives both sides.
+    torch.manual_seed(SEED)
+    np.random.seed(SEED)
     import random
 
-    random.seed(42)
+    random.seed(SEED)
 
     from src.runner.runner_udf import Runner_UDF
 
@@ -346,6 +348,20 @@ def run_eval() -> None:
     print(json.dumps(table))
 
 
+def run_score(side: str) -> None:
+    """Score ONE side and print its JSON row (multi-seed driver entry)."""
+    ckpt = (os.path.join(OUT, "ref_final.pth") if side == "ref"
+            else "ckpt_best.npz")
+    row = score_side(side, ckpt)
+    row["seed"] = SEED
+    row["obj"] = os.environ.get("PARITY_OBJ", "cube")
+    print(json.dumps(row))
+    score_out = os.environ.get("PARITY_SCORE_OUT")
+    if score_out:
+        with open(score_out, "w") as f:
+            json.dump(row, f, indent=1)
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "eval"
     os.makedirs(OUT, exist_ok=True)
@@ -355,5 +371,7 @@ if __name__ == "__main__":
         run_ours()
     elif cmd == "eval":
         run_eval()
+    elif cmd == "score":
+        run_score(sys.argv[2] if len(sys.argv) > 2 else "ref")
     else:
         raise SystemExit(f"unknown command {cmd!r}")
