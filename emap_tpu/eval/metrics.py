@@ -66,8 +66,11 @@ def compute_precision_recall_iou(
                 for name in ("precision", "recall", "fscore", "IOU"):
                     metrics[f"{name}_{thresh}"].append(0.0)
             return metrics
+        # NaN (not inf): the finalize convention (eval_abc.py nan_to_num)
+        # zeroes NaN, whereas inf would propagate into aggregate acc/comp
+        # means as a ~1e308 garbage value
         return ([0] * len(thresh_list), len(gt), [0] * len(thresh_list), 0,
-                float("inf"), float("inf"))
+                float("nan"), float("nan"))
 
     d_pred_gt = _nn_dists(pred, gt)
     d_gt_pred = _nn_dists(gt, pred)

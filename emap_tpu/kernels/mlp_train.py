@@ -309,6 +309,11 @@ def pallas_udf_train_value_and_gradient(
 
     Drop-in for fields.udf.udf_value_and_gradient inside render_core when
     the query points carry no gradient (they are stop-gradient z-values).
+    `pts` is stop-gradiented HERE, by construction: the custom_vjp's x
+    cotangent is zero, so a caller whose points carried parameter
+    dependence (e.g. differentiable sampling) would otherwise get silently
+    wrong point gradients through the PE-Jacobian side path. With the
+    explicit stop_gradient the semantics are enforced, not just documented.
     Weight-norm folding and the PE Jacobian run in XLA outside the kernel
     and are differentiated by JAX automatically. The backward kernel keeps
     ~3x the forward's per-tile state in VMEM (layer inputs, sigmoids, the
@@ -319,6 +324,7 @@ def pallas_udf_train_value_and_gradient(
     if tile_fwd % tile_bwd:
         raise ValueError("tile_bwd must divide tile_fwd (shared padding)")
     tile = max(tile_fwd, tile_bwd)
+    pts = jax.lax.stop_gradient(pts)
     w_pack, b_pack = pack_weights(params, cfg)
     padded, n = _pad_pts(jnp.asarray(pts, jnp.float32), tile)
     x_T = _encode_host(padded, cfg)

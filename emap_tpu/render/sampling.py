@@ -55,12 +55,20 @@ def sample_pdf(
     n_samples: int,
     det: bool = True,
     key: jax.Array | None = None,
+    u: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Inverse-CDF sampling (NeRF sample_pdf, reference :69-109).
 
     bins: (B, M) sorted sample positions; weights: (B, M-1).
     det=True (the only mode the pipeline uses) takes midpoints of a uniform
-    grid on [0,1]; det=False draws uniforms from `key`.
+    grid on [0,1]; det=False draws uniforms from `key`. `u` (tests only)
+    injects the uniforms directly so the inverse-CDF math can be oracle-
+    compared against the reference under identical randomness.
+
+    NOTE: det=False output is monotone in `u`, i.e. UNSORTED for random u —
+    it is incompatible with `_merge_z_vals` (which requires both inputs
+    individually sorted); sort stochastic samples before merging. The
+    pipeline only ever merges det=True output (sorted: u is a linspace).
     Returns (B, n_samples).
     """
     weights = weights + 1e-5
@@ -68,7 +76,11 @@ def sample_pdf(
     cdf = jnp.cumsum(pdf, axis=-1)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (B, M)
 
-    if det:
+    if u is not None:
+        u = jnp.broadcast_to(
+            jnp.asarray(u, bins.dtype), (bins.shape[0], n_samples)
+        )
+    elif det:
         u = jnp.linspace(
             0.5 / n_samples, 1.0 - 0.5 / n_samples, n_samples, dtype=bins.dtype
         )  # (n,)

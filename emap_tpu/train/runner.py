@@ -299,11 +299,15 @@ class Runner:
         chain = max(1, min(chain, 500))
         if profile_steps:
             chain = 1
-        if chain > 1 and self._chained_step is None:
+        # cache keyed on chain length: a second train() call with changed
+        # report/save/val cadences recomputes `chain`, and reusing a stale-
+        # length chained step would misalign checkpoints/validation
+        if chain > 1 and getattr(self, "_chained_step_len", None) != chain:
             self._chained_step = build_chained_train_step(
                 self.tcfg, self.rcfg, self.ucfg, self.scene.n_images,
                 chain, mesh=self.mesh,
             )
+            self._chained_step_len = chain
 
         # live progress with PSNR/loss in the description (the reference's
         # tqdm usage, runner_udf.py:57-62); optional dependency

@@ -32,6 +32,99 @@ def setup(tmp_path_factory):
     return scene, ucfg, rcfg, tcfg
 
 
+@pytest.fixture(scope="module")
+def single_chip_run(setup):
+    """4 per-step single-chip steps: per-step losses + final params."""
+    scene, ucfg, rcfg, tcfg = setup
+    pool = RayPool.from_scene(scene)
+    state = init_train_state(3, ucfg)
+    step = build_train_step(tcfg, rcfg, ucfg, scene.n_images, donate=False)
+    losses = []
+    for _ in range(4):
+        state, m = step(state, pool)
+        losses.append(float(m["loss"]))
+    return losses, jax.tree.leaves(state.params)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_mesh_size_sweep_loss_equivalence(setup, single_chip_run, n_dev):
+    """GSPMD re-partitions the same program: mesh sizes 2/4/8 must produce
+    the single-chip loss trajectory (pins the bench_scaling.py invariant
+    as CI; VERDICT r1 item 5)."""
+    scene, ucfg, rcfg, tcfg = setup
+    assert len(jax.devices()) >= n_dev
+    mesh = make_mesh(n_dev)
+    pool = replicate(RayPool.from_scene(scene), mesh)
+    state = replicate(init_train_state(3, ucfg), mesh)
+    step = build_sharded_train_step(tcfg, rcfg, ucfg, scene.n_images, mesh,
+                                    donate=False)
+    ref_losses, ref_params = single_chip_run
+    for i in range(4):
+        state, m = step(state, pool)
+        np.testing.assert_allclose(float(m["loss"]), ref_losses[i],
+                                   rtol=1e-4)
+    for a, b in zip(ref_params, jax.tree.leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_chained_scan_under_mesh_matches_per_step(setup, single_chip_run):
+    """The lax.scan chained dispatch under an 8-device mesh must reproduce
+    the per-step single-chip trajectory step-for-step (loss rows) and land
+    on the same parameters."""
+    from emap_tpu.train.step import METRIC_KEYS, build_chained_train_step
+
+    scene, ucfg, rcfg, tcfg = setup
+    mesh = make_mesh(8)
+    pool = replicate(RayPool.from_scene(scene), mesh)
+    state = replicate(init_train_state(3, ucfg), mesh)
+    chained = build_chained_train_step(tcfg, rcfg, ucfg, scene.n_images,
+                                       chain=4, donate=False, mesh=mesh)
+    state, rows = chained(state, pool)
+    ref_losses, ref_params = single_chip_run
+    loss_idx = METRIC_KEYS.index("loss")
+    np.testing.assert_allclose(
+        np.asarray(rows)[:, loss_idx], np.asarray(ref_losses), rtol=1e-4
+    )
+    for a, b in zip(ref_params, jax.tree.leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+class TestCliMeshFallback:
+    """build_mesh_from_conf trims the mesh to the largest even ray split
+    (emap_tpu/cli.py:34-63); previously only exercised manually."""
+
+    def _conf(self, multi=True):
+        return config.Config({"train": {"multi_device": multi}})
+
+    def test_even_batch_uses_all_devices(self):
+        from emap_tpu.cli import build_mesh_from_conf
+
+        mesh = build_mesh_from_conf(self._conf(), 32)
+        assert mesh is not None and mesh.devices.size == 8
+
+    def test_uneven_batch_trims_mesh(self):
+        from emap_tpu.cli import build_mesh_from_conf
+
+        # 12 % 8 != 0, % 7 != 0, % 6 == 0 -> 6-device mesh
+        mesh = build_mesh_from_conf(self._conf(), 12)
+        assert mesh is not None and mesh.devices.size == 6
+
+    def test_prime_batch_falls_back_single_device(self, caplog):
+        from emap_tpu.cli import build_mesh_from_conf
+
+        with caplog.at_level("WARNING"):
+            mesh = build_mesh_from_conf(self._conf(), 13)
+        assert mesh is None
+        assert any("no usable device split" in r.message for r in caplog.records)
+
+    def test_multi_device_false_disables(self):
+        from emap_tpu.cli import build_mesh_from_conf
+
+        assert build_mesh_from_conf(self._conf(multi=False), 32) is None
+
+
 def test_sharded_step_matches_single_chip(setup):
     scene, ucfg, rcfg, tcfg = setup
     assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"

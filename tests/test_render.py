@@ -58,6 +58,51 @@ class TestSamplePdf:
         s = np.asarray(sample_pdf_det(bins, weights, 8))[0]
         assert (s >= 0.38).all() and (s <= 0.52).all()
 
+    def test_stochastic_matches_reference(self, rng, monkeypatch):
+        # det=False oracle parity (VERDICT r1 "missing" #3): the stochastic
+        # inverse-CDF math must match reference sample_pdf (:69-109) under
+        # IDENTICAL uniforms — torch.rand is monkeypatched to the same u that
+        # is injected into ours via the test-only `u` parameter.
+        import torch
+
+        from emap_tpu.render.sampling import sample_pdf
+
+        ref = _reference("src.models.udf_renderer_blending")
+        bins = np.sort(
+            rng.uniform(0, 6, size=(8, 16)).astype(np.float32), axis=-1
+        )
+        weights = rng.uniform(0, 1, size=(8, 15)).astype(np.float32)
+        u = rng.uniform(0, 1, size=(8, 10)).astype(np.float32)
+        monkeypatch.setattr(
+            torch, "rand", lambda *a, **k: torch.tensor(u)
+        )
+        theirs = ref.sample_pdf(
+            torch.tensor(bins), torch.tensor(weights), 10, det=False
+        ).numpy()
+        ours = np.asarray(
+            sample_pdf(
+                jnp.asarray(bins), jnp.asarray(weights), 10, det=False,
+                u=jnp.asarray(u),
+            )
+        )
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+        # and the output really is unsorted (the _merge_z_vals caveat)
+        assert (np.diff(ours, axis=-1) < 0).any()
+
+    def test_stochastic_key_path_in_support(self):
+        # the key-driven branch (no injected u): samples live inside the bin
+        # support and concentrate where the weight is
+        bins = jnp.linspace(0.0, 1.0, 11)[None, :]
+        weights = jnp.zeros((1, 10)).at[0, 4].set(1.0)
+        from emap_tpu.render.sampling import sample_pdf
+
+        s = np.asarray(
+            sample_pdf(bins, weights, 64, det=False,
+                       key=jax.random.PRNGKey(0))
+        )[0]
+        assert (s >= 0.0).all() and (s <= 1.0).all()
+        assert ((s >= 0.38) & (s <= 0.52)).mean() > 0.9
+
 
 class TestUpSample:
     def test_matches_reference(self, rng):
