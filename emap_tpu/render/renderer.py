@@ -83,6 +83,7 @@ class RenderConfig:
                 "use_norm_grad_for_cosine", False
             ),
             near_surface=conf.get_float("near_surface", 0.05),
+            sampler_precision=conf.get_string("sampler_precision", "default"),
         )
 
     @property

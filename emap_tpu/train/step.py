@@ -117,8 +117,15 @@ def donation_supported() -> bool:
 
 def _build_train_step_fn(tcfg: TrainConfig, rcfg: RenderConfig,
                          ucfg: UDFConfig, n_images: int, mesh=None,
-                         axis: str = "data"):
-    """The raw (unjitted) step body; see build_train_step."""
+                         axis: str = "data", sample_fn=None):
+    """The raw (unjitted) step body; see build_train_step.
+
+    `sample_fn` (tests/rehearsals only): `(state, pool, k_rays) -> (batch,
+    img_idx)` overrides the in-jit ray sampling so a prescribed ray sequence
+    can be fed through the otherwise-unchanged production step (used by
+    scripts/rehearse_ckpt_restore.py to run matched-batch post-resume
+    trajectories against the torch reference).
+    """
     perm_key = jax.random.key(tcfg.seed + 7919)
     if mesh is not None:
         assert tcfg.batch_size % mesh.shape[axis] == 0, (
@@ -130,16 +137,20 @@ def _build_train_step_fn(tcfg: TrainConfig, rcfg: RenderConfig,
         key_next, k_rays, k_render = jax.random.split(state.key, 3)
         step = state.step
 
-        # epoch-wise image permutation (runner_udf.py:46, :249-250)
-        epoch = step // n_images
-        perm = jax.random.permutation(jax.random.fold_in(perm_key, epoch),
-                                      n_images)
-        img_idx = perm[step % n_images]
+        if sample_fn is not None:
+            batch, img_idx = sample_fn(state, pool, k_rays)
+        else:
+            # epoch-wise image permutation (runner_udf.py:46, :249-250)
+            epoch = step // n_images
+            perm = jax.random.permutation(
+                jax.random.fold_in(perm_key, epoch), n_images
+            )
+            img_idx = perm[step % n_images]
 
-        batch = sample_rays(
-            pool, img_idx, k_rays, tcfg.batch_size,
-            importance_sample=tcfg.importance_sample,
-        )
+            batch = sample_rays(
+                pool, img_idx, k_rays, tcfg.batch_size,
+                importance_sample=tcfg.importance_sample,
+            )
         if mesh is not None:
             from emap_tpu.parallel.mesh import shard_rays_constraint
 
@@ -255,7 +266,7 @@ def _build_train_step_fn(tcfg: TrainConfig, rcfg: RenderConfig,
 
 def build_train_step(tcfg: TrainConfig, rcfg: RenderConfig, ucfg: UDFConfig,
                      n_images: int, donate: bool | None = None, mesh=None,
-                     axis: str = "data"):
+                     axis: str = "data", sample_fn=None):
     """Returns jitted train_step(state, pool) -> (new_state, metrics dict).
 
     With `mesh`, the sampled ray batch is sharding-constrained along `axis`
@@ -266,7 +277,8 @@ def build_train_step(tcfg: TrainConfig, rcfg: RenderConfig, ucfg: UDFConfig,
     """
     if donate is None:
         donate = donation_supported()
-    fn = _build_train_step_fn(tcfg, rcfg, ucfg, n_images, mesh=mesh, axis=axis)
+    fn = _build_train_step_fn(tcfg, rcfg, ucfg, n_images, mesh=mesh,
+                              axis=axis, sample_fn=sample_fn)
     donate_argnums = (0,) if donate else ()
     return jax.jit(fn, donate_argnums=donate_argnums)
 

@@ -49,10 +49,28 @@ SEED = int(os.environ.get("PARITY_SEED", "42"))
 HIDDEN = int(os.environ.get("PARITY_HIDDEN", "64"))
 LAYERS = int(os.environ.get("PARITY_LAYERS", "4"))
 MULTIRES = int(os.environ.get("PARITY_MULTIRES", "6"))
+# precision-tier A/B knobs (our side only; the torch reference is all-f32)
+SAMPLER_PREC = os.environ.get("PARITY_SAMPLER_PREC", "default")
+FIELD_PREC = os.environ.get("PARITY_FIELD_PREC", "high")
+BWD_PREC = os.environ.get("PARITY_BWD_PREC", "")
 
 
 def shared_conf_dict(side: str) -> dict:
-    """The identical schedule for both pipelines (shortened ABC.conf)."""
+    """The identical schedule for both pipelines (shortened ABC.conf).
+
+    Precision-tier knobs are injected only on our side: the reference splats
+    `**conf[...]` into its constructors (runner_base.py:96-125), so unknown
+    keys would crash it — and it is all-f32 anyway.
+    """
+    d = _shared_conf_base(side)
+    if side != "ref":
+        d["model"]["udf_network"]["precision"] = FIELD_PREC
+        d["model"]["udf_network"]["bwd_precision"] = BWD_PREC
+        d["model"]["udf_renderer"]["sampler_precision"] = SAMPLER_PREC
+    return d
+
+
+def _shared_conf_base(side: str) -> dict:
     return {
         "general": {
             "base_exp_dir": os.path.join(OUT, f"exp_{side}"),

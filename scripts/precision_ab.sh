@@ -1,0 +1,46 @@
+#!/bin/bash
+# Seed-matched e2e A/B of precision tiers (VERDICT r1 item 3).
+#
+# Controls (production defaults: sampler=default, field=high, bwd inherits)
+# are the existing parity_results/score_ours_r3_seed*.json rows (same 8k x
+# 256 schedule, same seeds). This sweep reruns the SAME seeds with
+#   sampler_highest : sampler_precision=highest  (f32 importance queries)
+#   bwd_highest     : bwd_precision=highest      (f32 train-kernel adjoint;
+#                     auto-gate routes through XLA)
+# and scores each with the shared extraction+eval protocol, so the F@5mm
+# delta of each bf16 tier is measured end-to-end rather than op-level.
+#
+# Usage: bash scripts/precision_ab.sh [tiers] [seeds]
+set -u
+cd "$(dirname "$0")/.."
+TIERS=${1:-"sampler_highest bwd_highest"}
+SEEDS=${2:-"42 7 99 3 1234"}
+mkdir -p parity_results precision_ab
+for tier in $TIERS; do
+  case $tier in
+    sampler_highest) EXTRA="PARITY_SAMPLER_PREC=highest" ;;
+    bwd_highest)     EXTRA="PARITY_BWD_PREC=highest" ;;
+    control)         EXTRA="" ;;
+    *) echo "unknown tier $tier"; exit 1 ;;
+  esac
+  for seed in $SEEDS; do
+    out="$(pwd)/precision_ab/${tier}_s${seed}"
+    score="$(pwd)/parity_results/score_ab_${tier}_seed${seed}.json"
+    if [ -f "$score" ]; then
+      echo "=== skip ${tier} seed ${seed} (already scored) ==="
+      continue
+    fi
+    echo "=== ours train ${tier} seed ${seed} ==="
+    env $EXTRA PARITY_SEED=$seed PARITY_OUT=$out \
+      PARITY_STEPS=8000 PARITY_BATCH=256 \
+      python scripts/parity_reference.py ours > "$out.train.log" 2>&1 \
+      || { echo "TRAIN FAILED ${tier}/${seed}"; tail -3 "$out.train.log"; continue; }
+    echo "=== ours score ${tier} seed ${seed} ==="
+    env $EXTRA PARITY_SEED=$seed PARITY_OUT=$out \
+      PARITY_STEPS=8000 PARITY_BATCH=256 PARITY_SCORE_OUT=$score \
+      python scripts/parity_reference.py score ours > "$out.score.log" 2>&1 \
+      || { echo "SCORE FAILED ${tier}/${seed}"; tail -3 "$out.score.log"; }
+    tail -c 300 "$score" 2>/dev/null; echo
+  done
+done
+echo "=== precision A/B done ==="
