@@ -7,8 +7,11 @@ This is the minimum end-to-end slice of SURVEY.md §7 (driver config #1
 analog) runnable without the Google-Drive datasets. On the TPU the default
 settings take a few minutes; on CPU use E2E_STEPS=300 E2E_BATCH=128.
 
-Env knobs: E2E_STEPS (default 3000), E2E_BATCH (512), E2E_RES (96, grid
+Env knobs: E2E_STEPS (default 12000), E2E_BATCH (512), E2E_RES (96, grid
 resolution for extraction), E2E_OUT (exp dir), E2E_VIEWS (24), E2E_IMG (128).
+
+`build_conf` / `score_extraction` are importable so other drivers (e.g.
+scripts/diagnose_seeds.py) run the identical schedule and protocol.
 """
 
 from __future__ import annotations
@@ -23,40 +26,28 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np  # noqa: E402
 
 
-def main() -> dict:
-    import logging
-
-    logging.basicConfig(
-        level=logging.INFO,
-        format="[%(filename)s:%(lineno)s] %(message)s",
-    )
+def build_conf(
+    out_dir: str,
+    steps: int = 12000,
+    batch: int = 512,
+    seed: int = 42,
+    obj: str = "cube",
+    n_views: int = 24,
+    img: int = 128,
+    thresh: float = 0.03,
+    res: int = 96,
+    pallas_train: str = "auto",
+):
+    """The production-shaped e2e conf on the synthetic scene (ABC.conf
+    model/renderer dims, schedule scaled by `steps`). Builds the scene if
+    missing."""
     from emap_tpu import config
-    from emap_tpu.data.synthetic import (
-        make_synthetic_scene,
-        sample_cube_edge_points,
-        sample_ring_edge_points,
-    )
-    from emap_tpu.eval.metrics import (
-        chamfer_distance,
-        compute_precision_recall_iou,
-        downsample_point_cloud_average,
-    )
-    from emap_tpu.train.runner import Runner
-
-    steps = int(os.environ.get("E2E_STEPS", "12000"))
-    batch = int(os.environ.get("E2E_BATCH", "512"))
-    res = int(os.environ.get("E2E_RES", "96"))
-    thresh = float(os.environ.get("E2E_THRESH", "0.03"))
-    n_views = int(os.environ.get("E2E_VIEWS", "24"))
-    img = int(os.environ.get("E2E_IMG", "128"))
-    out_dir = os.environ.get("E2E_OUT", tempfile.mkdtemp(prefix="emap_e2e_"))
+    from emap_tpu.data.synthetic import make_synthetic_scene
 
     data_dir = os.path.join(out_dir, "data")
-    obj = os.environ.get("E2E_OBJ", "cube")
     make_synthetic_scene(data_dir, scan="cube000", n_views=n_views, H=img,
                          W=img, obj=obj)
-
-    conf = config.Config(
+    return config.Config(
         {
             "general": {
                 "base_exp_dir": os.path.join(out_dir, "exp"),
@@ -89,7 +80,7 @@ def main() -> dict:
                 "report_freq": 500,
                 "igr_weight": 0.1,
                 "igr_ns_weight": 0.0,
-                "seed": int(os.environ.get("E2E_SEED", "42")),
+                "seed": seed,
             },
             "edge_loss": {"edge_weight": 1.0, "loss_type": "mse"},
             "model": {
@@ -98,8 +89,7 @@ def main() -> dict:
                     "skip_in": [4], "multires": 10, "bias": 0.5, "scale": 1.0,
                     "geometric_init": True, "weight_norm": True,
                     "udf_type": "abs",
-                    "pallas_train": os.environ.get("E2E_PALLAS_TRAIN",
-                                                   "auto"),
+                    "pallas_train": pallas_train,
                 },
                 "variance_network": {"init_val": 0.3},
                 "beta_network": {
@@ -125,6 +115,76 @@ def main() -> dict:
         }
     )
 
+
+def score_extraction(base_exp_dir: str, edge_dict: dict, obj: str) -> dict:
+    """Score a finished extraction against the analytic wireframe GT with
+    the unchanged ABC protocol (sample-every-5mm + 256^3 downsample)."""
+    from emap_tpu.data.synthetic import (
+        sample_cube_edge_points,
+        sample_ring_edge_points,
+    )
+    from emap_tpu.eval.metrics import (
+        chamfer_distance,
+        compute_precision_recall_iou,
+        downsample_point_cloud_average,
+        get_pred_points_and_directions,
+    )
+
+    json_path = os.path.join(base_exp_dir, "results",
+                             "parametric_edges.json")
+    curve_pts, line_pts, _, _ = get_pred_points_and_directions(json_path)
+    pred = np.concatenate(
+        [np.asarray(curve_pts).reshape(-1, 3),
+         np.asarray(line_pts).reshape(-1, 3)]
+    )
+    pred = downsample_point_cloud_average(
+        pred.astype(np.float32), 256, [-1, -1, -1], [1, 1, 1]
+    )
+    gt = (sample_ring_edge_points(0.5, spacing=0.005) if obj == "rings"
+          else sample_cube_edge_points(0.5, spacing=0.005))
+    metrics = {
+        f"{name}_{t}": []
+        for name in ("precision", "recall", "fscore", "IOU")
+        for t in (0.005, 0.01, 0.02)
+    }
+    chamfer, acc, comp = chamfer_distance(pred, gt)
+    compute_precision_recall_iou(pred, gt, metrics, [0.005, 0.01, 0.02],
+                                 "all")
+    return {
+        "chamfer": round(chamfer, 5),
+        "acc": round(acc, 5),
+        "comp": round(comp, 5),
+        **{k: round(v[0], 4) for k, v in metrics.items()},
+        "n_lines": len(edge_dict["lines_end_pts"]),
+        "n_curves": len(edge_dict["curves_ctl_pts"]),
+    }
+
+
+def main() -> dict:
+    import logging
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="[%(filename)s:%(lineno)s] %(message)s",
+    )
+    from emap_tpu.train.runner import Runner
+
+    steps = int(os.environ.get("E2E_STEPS", "12000"))
+    batch = int(os.environ.get("E2E_BATCH", "512"))
+    res = int(os.environ.get("E2E_RES", "96"))
+    thresh = float(os.environ.get("E2E_THRESH", "0.03"))
+    n_views = int(os.environ.get("E2E_VIEWS", "24"))
+    img = int(os.environ.get("E2E_IMG", "128"))
+    obj = os.environ.get("E2E_OBJ", "cube")
+    out_dir = os.environ.get("E2E_OUT", tempfile.mkdtemp(prefix="emap_e2e_"))
+
+    conf = build_conf(
+        out_dir, steps=steps, batch=batch,
+        seed=int(os.environ.get("E2E_SEED", "42")), obj=obj,
+        n_views=n_views, img=img, thresh=thresh, res=res,
+        pallas_train=os.environ.get("E2E_PALLAS_TRAIN", "auto"),
+    )
+
     runner = Runner(conf, mode="train")
     runner.train()
     runner.save_checkpoint(0.0)  # force-save final weights for extraction
@@ -141,34 +201,8 @@ def main() -> dict:
         visible_checking=False,
     )
 
-    # eval against the analytic wireframe
-    from emap_tpu.eval.metrics import get_pred_points_and_directions
-
-    json_path = os.path.join(
-        runner.base_exp_dir, "results", "parametric_edges.json"
-    )
-    curve_pts, line_pts, _, _ = get_pred_points_and_directions(json_path)
-    pred = np.concatenate([curve_pts, line_pts]).reshape(-1, 3)
-    pred = downsample_point_cloud_average(
-        pred.astype(np.float32), 256, [-1, -1, -1], [1, 1, 1]
-    )
-    gt = (sample_ring_edge_points(0.5, spacing=0.005) if obj == "rings"
-          else sample_cube_edge_points(0.5, spacing=0.005))
-
-    metrics = {
-        f"{name}_{t}": []
-        for name in ("precision", "recall", "fscore", "IOU")
-        for t in (0.005, 0.01, 0.02)
-    }
-    chamfer, acc, comp = chamfer_distance(pred, gt)
-    compute_precision_recall_iou(pred, gt, metrics, [0.005, 0.01, 0.02], "all")
     result = {
-        "chamfer": round(chamfer, 5),
-        "acc": round(acc, 5),
-        "comp": round(comp, 5),
-        **{k: round(v[0], 4) for k, v in metrics.items()},
-        "n_lines": len(edge_dict["lines_end_pts"]),
-        "n_curves": len(edge_dict["curves_ctl_pts"]),
+        **score_extraction(runner.base_exp_dir, edge_dict, obj),
         "out_dir": out_dir,
         "steps": steps,
     }

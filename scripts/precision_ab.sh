@@ -17,10 +17,16 @@ TIERS=${1:-"sampler_highest bwd_highest"}
 SEEDS=${2:-"42 7 99 3 1234"}
 mkdir -p parity_results precision_ab
 for tier in $TIERS; do
+  # SCORE_EXTRA: env for the extraction+scoring pass. Train-time tiers
+  # (field_default) must NOT leak into extraction — the A/B isolates the
+  # tier's effect on the TRAINED FIELD; extraction always runs the
+  # production tier. Sampler/bwd knobs don't exist on the extraction path,
+  # so reusing them there is harmless.
   case $tier in
-    sampler_highest) EXTRA="PARITY_SAMPLER_PREC=highest" ;;
-    bwd_highest)     EXTRA="PARITY_BWD_PREC=highest" ;;
-    control)         EXTRA="" ;;
+    sampler_highest) EXTRA="PARITY_SAMPLER_PREC=highest"; SCORE_EXTRA=$EXTRA ;;
+    bwd_highest)     EXTRA="PARITY_BWD_PREC=highest"; SCORE_EXTRA=$EXTRA ;;
+    field_default)   EXTRA="PARITY_FIELD_PREC=default"; SCORE_EXTRA="" ;;
+    control)         EXTRA=""; SCORE_EXTRA="" ;;
     *) echo "unknown tier $tier"; exit 1 ;;
   esac
   for seed in $SEEDS; do
@@ -36,7 +42,7 @@ for tier in $TIERS; do
       python scripts/parity_reference.py ours > "$out.train.log" 2>&1 \
       || { echo "TRAIN FAILED ${tier}/${seed}"; tail -3 "$out.train.log"; continue; }
     echo "=== ours score ${tier} seed ${seed} ==="
-    env $EXTRA PARITY_SEED=$seed PARITY_OUT=$out \
+    env $SCORE_EXTRA PARITY_SEED=$seed PARITY_OUT=$out \
       PARITY_STEPS=8000 PARITY_BATCH=256 PARITY_SCORE_OUT=$score \
       python scripts/parity_reference.py score ours > "$out.score.log" 2>&1 \
       || { echo "SCORE FAILED ${tier}/${seed}"; tail -3 "$out.score.log"; }
