@@ -248,6 +248,9 @@ def _pallas_value(x_T, w_pack, b_pack, cfg: UDFConfig, tile: int,
             (1, tile), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )(x_T, w_pack, b_pack)
     return out[0]
 
@@ -324,6 +327,12 @@ def _pallas_value_and_grad(x_T, w_pack, b_pack, cfg: UDFConfig, tile: int,
         in_specs=in_specs,
         out_specs=out_specs,
         interpret=interpret,
+        # Mosaic's default scoped-VMEM budget is 16 MiB (a compiler
+        # default, not the v5e's 128 MiB); raise it so large tiles and
+        # f32-residual variants fit (see kernels/mlp_train.py).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )(x_T, w_pack, b_pack)
     return udf[0], g_inputs
 

@@ -116,40 +116,64 @@ def _train_bwd_math(x, w_ref, b_ref, ubar, gbar, cfg: UDFConfig):
             [a, jnp.zeros((rows - a.shape[0], a.shape[1]), a.dtype)], axis=0
         )
 
-    # ---- forward recompute: layer inputs u_l, sigmoids s_l, head y0
-    us, ss = [], []
+    # ---- forward recompute: store ONLY the f32 pre-activations z_l.
+    # Layer inputs u_l and sigmoids s_l are re-derived from z on demand
+    # (softplus/sigmoid are cheap VPU transcendentals next to the tile's
+    # ~140 MXU passes, and recomputing from the same stored f32 z is
+    # bit-identical to storing the results). Storing z instead of both
+    # (u, s) halves the residual footprint (see the carries handoff
+    # below). bf16 residuals were measured and rejected: they
+    # multiply into every adjoint chain and push the weight-grad error to
+    # ~1e-2 rel; f32 z keeps it at the dot tier.
+    zs = []
     h = x
     for l in range(L):
         in_l, out_l = dims[l]
         if l in cfg.skip_in:
             h = jnp.concatenate([h, x[:d0, :]], axis=0) * _INV_SQRT2
-        us.append(h)
         z = _kernel_dot(W(l), h, prec)[:out_l] + b_ref[:out_l, l : l + 1]
         if l < L - 1:
-            # f32 sigmoids: unlike the inference kernel, bf16 residuals here
-            # multiply into every adjoint chain and push the weight-grad
-            # error to ~1e-2 rel (measured); f32 keeps it at the dot tier.
-            ss.append(jax.nn.sigmoid(100.0 * z))
+            zs.append(z)
             h = jax.nn.softplus(100.0 * z) / 100.0
         else:
             y0 = z[:1, :]
     dy = _dy_of_y0(y0, cfg.udf_type, cfg.scale)  # (1, T)
 
     def s32(l):
-        return ss[l].astype(jnp.float32)
+        return jax.nn.sigmoid(100.0 * zs[l])
 
-    # ---- spatial-gradient reverse chain, keeping r_l and carry_l
-    rs = [None] * L
+    def u_of(l):
+        """Layer l's input, re-derived: x for l=0, else act(z_{l-1})
+        (+ skip concat), exactly as the forward chain built it."""
+        if l == 0:
+            return x
+        a = jax.nn.softplus(100.0 * zs[l - 1]) / 100.0
+        if l in cfg.skip_in:
+            a = jnp.concatenate([a, x[:d0, :]], axis=0) * _INV_SQRT2
+        return a
+
+    # ---- spatial-gradient reverse chain, keeping only carry_l.
+    # rs[l] (= carries[l+1] * s_l, rs[L-1] = dy) is NOT materialized as a
+    # list: phase 3 re-derives each rs[l] from the stored carries with the
+    # identical expression, so only ONE of {carries[l], s_hat[l]} is live
+    # per layer at any point in phase 3 (carries die as s_hat is built).
+    # Together with the z-only residuals this halves the backward's peak
+    # VMEM liveness (large tiles / f32 variants fit comfortably under the
+    # raised vmem_limit_bytes below); values are bit-identical (same dots,
+    # same operands, same order).
     carries = [None] * L  # carries[l]: the value elementwise-multiplied
-    rs[L - 1] = dy        # into s_{l-1} to form r_{l-1}
+    r = dy                # into s_{l-1} to form r_{l-1}
     for l in reversed(range(1, L)):
-        q = dotT(l, rs[l])  # (in_l, T)
+        q = dotT(l, r)  # (in_l, T)
         if l in cfg.skip_in:
             carry = q[:-d0, :] * _INV_SQRT2
         else:
             carry = q
         carries[l] = carry
-        rs[l - 1] = carry * s32(l - 1)
+        r = carry * s32(l - 1)
+
+    def r_of(l):
+        return dy if l == L - 1 else carries[l + 1] * s32(l)
 
     # ---- phase 3: ascend the reverse chain
     w_contrib = [None] * L  # (out_l, in_l) per layer
@@ -168,12 +192,13 @@ def _train_bwd_math(x, w_ref, b_ref, ubar, gbar, cfg: UDFConfig):
             q_hat = carryhat
         # Wbar_l += r_l q_hat^T : contract the T axis (axis 1 of both)
         w_contrib[l] = _kernel_dot(
-            rs[l], q_hat, prec_b,
+            r_of(l), q_hat, prec_b,
             dimension_numbers=(((1,), (1,)), ((), ())),
         )
         r_hat = _kernel_dot(W(l), q_hat, prec_b)[: dims[l][1]]
         if l < L - 1:
             s_hat[l] = r_hat * carries[l + 1]
+            carries[l + 1] = None  # last use: liveness handoff to s_hat[l]
             carryhat = r_hat * s32(l)
         else:
             r_hat_last = r_hat  # (1, T); used by the square head only
@@ -190,7 +215,7 @@ def _train_bwd_math(x, w_ref, b_ref, ubar, gbar, cfg: UDFConfig):
                 100.0 * s32(l) * (1.0 - s32(l))
             )
         w_contrib[l] = w_contrib[l] + _kernel_dot(
-            z_hat, us[l], prec_b,
+            z_hat, u_of(l), prec_b,
             dimension_numbers=(((1,), (1,)), ((), ())),
         )
         b_contrib[l] = jnp.sum(z_hat, axis=1, keepdims=True)
@@ -261,6 +286,14 @@ def _pallas_train_bwd(x_T, w_pack, b_pack, ubar, gbar, cfg: UDFConfig,
         in_specs=in_specs,
         out_specs=out_specs,
         interpret=interpret,
+        # Mosaic's DEFAULT scoped-VMEM stack budget is 16 MiB — a compiler
+        # default, not the hardware (v5e has 128 MiB VMEM). The raised
+        # limit is what admits tile_bwd=512 (bigger MXU tiles) and the
+        # 6-pass f32 HIGHEST adjoint that previously VMEM-OOMed at AOT
+        # compile and had to be routed around the kernel.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )(x_T, w_pack, b_pack, ubar, gbar)
     return wbar, bbar
 

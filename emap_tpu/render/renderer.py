@@ -129,12 +129,14 @@ def _use_pallas_train(udf_cfg: UDFConfig) -> bool:
     if udf_cfg.pallas_train == "on":
         return True
     if "highest" in (udf_cfg.precision, udf_cfg.bwd_precision):
-        # The 6-pass f32 HIGHEST dots overflow the backward kernel's scoped
-        # VMEM (Mosaic stack OOM: 38.4M vs the 16M limit at tile_bwd=256,
-        # measured on v5e) — and a user pinning "highest" wants exact f32,
-        # which XLA autodiff at Precision.HIGHEST already provides. Auto
-        # mode therefore routes HIGHEST through XLA; pallas_train = "on"
-        # still forces the kernel for experimentation.
+        # HIGHEST through the kernel is feasible since the scoped-VMEM
+        # limit was raised (kernels/mlp_train.py) but MEASURED SLOWER than
+        # XLA: 45-48 ms vs 38 ms at the production step shape (the 6-pass
+        # f32 emulation in-kernel loses to XLA's native f32 matmuls,
+        # round-4 bench). A user pinning "highest" wants exact f32, which
+        # XLA autodiff at Precision.HIGHEST provides faster. Auto mode
+        # therefore routes HIGHEST through XLA; pallas_train = "on" still
+        # forces the kernel for experimentation.
         return False
     from emap_tpu.kernels.mlp_query import pallas_available
 
