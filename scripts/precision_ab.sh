@@ -15,6 +15,7 @@ set -u
 cd "$(dirname "$0")/.."
 TIERS=${1:-"sampler_highest bwd_highest"}
 SEEDS=${2:-"42 7 99 3 1234"}
+OBJ=${3:-cube}   # rings for the curve-only scene; scores get an _<obj> suffix
 mkdir -p parity_results precision_ab
 for tier in $TIERS; do
   # SCORE_EXTRA: env for the extraction+scoring pass. Train-time tiers
@@ -30,19 +31,20 @@ for tier in $TIERS; do
     *) echo "unknown tier $tier"; exit 1 ;;
   esac
   for seed in $SEEDS; do
-    out="$(pwd)/precision_ab/${tier}_s${seed}"
-    score="$(pwd)/parity_results/score_ab_${tier}_seed${seed}.json"
+    sfx=""; [ "$OBJ" != "cube" ] && sfx="_${OBJ}"
+    out="$(pwd)/precision_ab/${tier}${sfx}_s${seed}"
+    score="$(pwd)/parity_results/score_ab_${tier}${sfx}_seed${seed}.json"
     if [ -f "$score" ]; then
       echo "=== skip ${tier} seed ${seed} (already scored) ==="
       continue
     fi
     echo "=== ours train ${tier} seed ${seed} ==="
-    env $EXTRA PARITY_SEED=$seed PARITY_OUT=$out \
+    env $EXTRA PARITY_OBJ=$OBJ PARITY_SEED=$seed PARITY_OUT=$out \
       PARITY_STEPS=8000 PARITY_BATCH=256 \
       python scripts/parity_reference.py ours > "$out.train.log" 2>&1 \
       || { echo "TRAIN FAILED ${tier}/${seed}"; tail -3 "$out.train.log"; continue; }
     echo "=== ours score ${tier} seed ${seed} ==="
-    env $SCORE_EXTRA PARITY_SEED=$seed PARITY_OUT=$out \
+    env $SCORE_EXTRA PARITY_OBJ=$OBJ PARITY_SEED=$seed PARITY_OUT=$out \
       PARITY_STEPS=8000 PARITY_BATCH=256 PARITY_SCORE_OUT=$score \
       python scripts/parity_reference.py score ours > "$out.score.log" 2>&1 \
       || { echo "SCORE FAILED ${tier}/${seed}"; tail -3 "$out.score.log"; }

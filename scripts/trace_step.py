@@ -51,6 +51,12 @@ def _device_tracks(trace: dict):
 
 
 def summarize(trace_dir: str, steps: int) -> dict:
+    """Per-op device time per step, grouped by trace lane.
+
+    The chrome trace nests three device lanes — "XLA Modules" (whole
+    program spans), "XLA Ops" (the real per-op attribution), and "Steps"
+    (per-dispatch markers) — so summing everything double-counts; each lane
+    is reported separately and the Ops lane is the attribution table."""
     paths = sorted(
         glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                   recursive=True),
@@ -67,27 +73,33 @@ def summarize(trace_dir: str, steps: int) -> dict:
             for ev in trace.get("traceEvents", [])
             if ev.get("ph") == "M" and ev.get("name") == "process_name"
         }
-    per_op = defaultdict(float)
-    per_track = defaultdict(float)
+    tid_names = {}
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") == "M" and ev.get("name") == "thread_name":
+            tid_names[(ev["pid"], ev["tid"])] = (
+                ev.get("args", {}).get("name", "?")
+            )
+    per_lane_op = defaultdict(lambda: defaultdict(float))
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") != "X" or ev.get("pid") not in dev_pids:
             continue
-        dur_us = float(ev.get("dur", 0.0))
-        per_op[ev.get("name", "?")] += dur_us
-        per_track[dev_pids[ev["pid"]]] += dur_us
-    rows = sorted(per_op.items(), key=lambda kv: -kv[1])
-    total = sum(per_op.values())
-    print(f"\ndevice tracks: {list(per_track)}")
-    print(f"total device-op time: {total/1e3:.2f} ms over {steps} steps "
-          f"= {total/1e3/steps:.3f} ms/step\n")
-    print(f"{'ms/step':>9}  {'%':>5}  op")
-    kept = []
-    for name, us in rows[:25]:
-        print(f"{us/1e3/steps:9.3f}  {100*us/total:5.1f}  {name[:90]}")
-        kept.append({"op": name, "ms_per_step": round(us / 1e3 / steps, 4),
-                     "pct": round(100 * us / total, 2)})
-    return {"steps": steps, "total_ms_per_step": round(total / 1e3 / steps, 3),
-            "ops": kept}
+        lane = tid_names.get((ev["pid"], ev.get("tid")), "?")
+        per_lane_op[lane][ev.get("name", "?")] += float(ev.get("dur", 0.0))
+    report = {"steps": steps, "lanes": {}}
+    for lane, per_op in sorted(per_lane_op.items()):
+        total = sum(per_op.values())
+        print(f"\n== lane '{lane}': {total/1e3/steps:.3f} ms/step total")
+        print(f"{'ms/step':>9}  {'%':>5}  op")
+        kept = []
+        for name, us in sorted(per_op.items(), key=lambda kv: -kv[1])[:20]:
+            print(f"{us/1e3/steps:9.3f}  {100*us/total:5.1f}  {name[:90]}")
+            kept.append({"op": name,
+                         "ms_per_step": round(us / 1e3 / steps, 4),
+                         "pct": round(100 * us / total, 2)})
+        report["lanes"][lane] = {
+            "total_ms_per_step": round(total / 1e3 / steps, 3), "ops": kept,
+        }
+    return report
 
 
 def profile() -> None:
