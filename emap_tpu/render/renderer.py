@@ -55,6 +55,14 @@ class RenderConfig:
     # and removes ~1/3 of the step's MXU work. Set to "highest" to force
     # full-precision sampling.
     sampler_precision: str = "default"
+    # matmul precision for render_core's TRAIN-path field query (the fused
+    # fwd+second-order-bwd kernel). "" inherits the model's `precision`
+    # (which also governs extraction); a non-empty value overrides it for
+    # TRAINING ONLY, leaving extraction at the model tier. Measured e2e
+    # (BASELINE.md round-4 A/B, 9 seeds across cube+rings): training at
+    # "default" (1-pass bf16, bwd inherits) matches the "high" tier's
+    # F-scores within seed noise at ~1.9x step throughput.
+    field_precision: str = ""
 
     def __post_init__(self):
         if self.n_outside != 0:
@@ -84,6 +92,7 @@ class RenderConfig:
             ),
             near_surface=conf.get_float("near_surface", 0.05),
             sampler_precision=conf.get_string("sampler_precision", "default"),
+            field_precision=conf.get_string("field_precision", ""),
         )
 
     @property
@@ -201,6 +210,12 @@ def render_core(
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
 
     pts_flat = pts.reshape(-1, 3)
+    if cfg.field_precision and cfg.field_precision != udf_cfg.precision:
+        # train-only precision override (see RenderConfig.field_precision);
+        # bwd_precision inherits the replaced tier unless pinned.
+        udf_cfg = dataclasses.replace(
+            udf_cfg, precision=cfg.field_precision
+        )
     udf_flat, gradients_flat = _query_field(
         params, pts_flat, udf_cfg, mesh=mesh, axis=axis
     )

@@ -430,6 +430,72 @@ class TestRenderProperties:
         assert out["weights"].shape == (batch, 26)
 
 
+class TestFieldPrecisionOverride:
+    """RenderConfig.field_precision overrides the model tier for the
+    TRAIN-path field query only (renderer.render_core)."""
+
+    def _render(self, rcfg, ucfg):
+        params = {
+            "udf": init_udf_params(jax.random.key(0), ucfg),
+            "variance": init_variance_params(0.3),
+            "beta": init_beta_params(0.5, 0.3, 0.3),
+        }
+        batch = 4
+        rng = np.random.default_rng(3)
+        rays_o = np.tile(np.array([[0, 0, -2.0]], np.float32), (batch, 1))
+        rays_d = np.array([[0, 0, 1.0]], np.float32) + rng.normal(
+            scale=0.2, size=(batch, 3)
+        ).astype(np.float32)
+        rays_d /= np.linalg.norm(rays_d, axis=-1, keepdims=True)
+        out = jax.jit(
+            lambda p, ro, rd, ds, k: render(
+                p, ro, rd, 0.05, 4.0, ds, k, rcfg, ucfg,
+                cos_anneal_ratio=0.5, flip_saturation=0.9,
+            )
+        )(
+            params, jnp.asarray(rays_o), jnp.asarray(rays_d),
+            jnp.ones((batch, 1)), jax.random.key(1),
+        )
+        return np.asarray(out["edge"])
+
+    def test_override_equals_model_tier(self):
+        import dataclasses
+
+        base = RenderConfig(n_samples=16, n_importance=10, up_sample_steps=5,
+                            sampler_precision="highest")
+        # model "high" + field_precision "highest" must equal model
+        # "highest" bitwise: the knob reaches the same query path.
+        a = self._render(
+            dataclasses.replace(base, field_precision="highest"),
+            dataclasses.replace(SMALL_UDF, precision="high"),
+        )
+        b = self._render(
+            base, dataclasses.replace(SMALL_UDF, precision="highest")
+        )
+        np.testing.assert_array_equal(a, b)
+
+    def test_override_reaches_query(self, monkeypatch):
+        import dataclasses
+
+        from emap_tpu.render import renderer as renderer_mod
+
+        seen = []
+        orig = renderer_mod._query_field
+
+        def spy(params, pts_flat, udf_cfg, mesh=None, axis="data"):
+            seen.append(udf_cfg.precision)
+            return orig(params, pts_flat, udf_cfg, mesh=mesh, axis=axis)
+
+        monkeypatch.setattr(renderer_mod, "_query_field", spy)
+        base = RenderConfig(n_samples=16, n_importance=10, up_sample_steps=5,
+                            sampler_precision="highest")
+        self._render(
+            dataclasses.replace(base, field_precision="default"),
+            dataclasses.replace(SMALL_UDF, precision="high"),
+        )
+        assert seen == ["default"]  # train query runs at the override tier
+
+
 class TestSafeNorm:
     def test_eikonal_at_zero_gradient(self):
         """d||g||/dg must be 0 (torch subgradient), not NaN, when the
