@@ -49,7 +49,9 @@ def main() -> None:
 
     pool = RayPool.from_scene(scene)
     ucfg = UDFConfig()  # flagship: 8x256, multires 10
-    rcfg = RenderConfig()  # 64 base + 50 importance
+    # 64 base + 50 importance; field_precision mirrors the conf-driven
+    # production default (bf16 train-path field query, r2 flip)
+    rcfg = RenderConfig(field_precision="default")
     batch = int(os.environ.get("BENCH_BATCH", "1024"))
     tcfg = TrainConfig(
         batch_size=batch, end_iter=50000, near=scene.near, far=scene.far

@@ -59,9 +59,13 @@ class RenderConfig:
     # fwd+second-order-bwd kernel). "" inherits the model's `precision`
     # (which also governs extraction); a non-empty value overrides it for
     # TRAINING ONLY, leaving extraction at the model tier. Measured e2e
-    # (BASELINE.md round-4 A/B, 9 seeds across cube+rings): training at
-    # "default" (1-pass bf16, bwd inherits) matches the "high" tier's
-    # F-scores within seed noise at ~1.9x step throughput.
+    # (BASELINE.md precision A/B, 8 matched seeds across cube+rings):
+    # training at "default" (1-pass bf16, bwd inherits) matches the "high"
+    # tier's F-scores within seed noise (mean dF@5mm +0.006) at ~1.9x step
+    # throughput, so conf-driven production (from_conf) defaults to
+    # "default"; the dataclass default stays "" (inherit) so directly
+    # constructed configs — oracle-parity tests, extraction — keep the
+    # model tier.
     field_precision: str = ""
 
     def __post_init__(self):
@@ -92,7 +96,10 @@ class RenderConfig:
             ),
             near_surface=conf.get_float("near_surface", 0.05),
             sampler_precision=conf.get_string("sampler_precision", "default"),
-            field_precision=conf.get_string("field_precision", ""),
+            # production default: bf16 train-path field query (quality-
+            # neutral per the 8-seed e2e A/B; see the field attribute doc).
+            # Pin `field_precision = ""` in the conf to restore inherit.
+            field_precision=conf.get_string("field_precision", "default"),
         )
 
     @property

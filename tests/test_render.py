@@ -495,6 +495,21 @@ class TestFieldPrecisionOverride:
         )
         assert seen == ["default"]  # train query runs at the override tier
 
+    def test_from_conf_production_default(self):
+        """Conf-driven production trains the field query at bf16 (r2 flip,
+        8-seed e2e A/B quality-neutral); pinning "" restores inherit."""
+        from emap_tpu.config import Config
+
+        assert RenderConfig.from_conf(Config({})).field_precision == "default"
+        assert (
+            RenderConfig.from_conf(
+                Config({"field_precision": ""})
+            ).field_precision
+            == ""
+        )
+        # directly constructed configs (oracle tests, extraction) inherit
+        assert RenderConfig().field_precision == ""
+
 
 class TestSafeNorm:
     def test_eikonal_at_zero_gradient(self):
