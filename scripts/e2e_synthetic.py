@@ -104,6 +104,11 @@ def build_conf(
                     "sdf2alpha_type": "numerical",
                     "upsampling_type": "classical",
                     "use_unbias_render": True,
+                    # E2E_FIELD_PREC: "" (default) reproduces the recorded
+                    # 5-seed e2e rows bit-exactly (train query at the model
+                    # tier, pre-r4-flip); set "default" to run the r4
+                    # production tier (bf16 train-path query).
+                    "field_precision": os.environ.get("E2E_FIELD_PREC", ""),
                 },
             },
             "edge_extraction": {

@@ -67,6 +67,11 @@ def shared_conf_dict(side: str) -> dict:
         d["model"]["udf_network"]["precision"] = FIELD_PREC
         d["model"]["udf_network"]["bwd_precision"] = BWD_PREC
         d["model"]["udf_renderer"]["sampler_precision"] = SAMPLER_PREC
+        # pin the train-path override OFF so the FIELD_PREC env (the model
+        # tier) governs training exactly as in all recorded A/B rows; the
+        # r4 production flip (from_conf field_precision -> "default") would
+        # otherwise silently retier every run of this harness.
+        d["model"]["udf_renderer"]["field_precision"] = ""
     return d
 
 
