@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Conf-agnostic production-CLI run on the synthetic stand-in scene.
+
+Drives `main.py`-equivalent CLI with any of confs/{ABC,DTU,Replica}.conf
+VERBATIM — only data_dir / far are overridden to the synthetic stand-in
+(cameras orbit at r=2.2, so far=4.5), exactly like the recorded
+full-schedule baseline rows — through train AND extraction, then scores
+against the analytic wireframe GT and reports the schedule-gate state
+(beta gate, flip_saturation transitions) from the final checkpoint.
+
+Generalizes scripts/run_200k_dtu.py (VERDICT r1 item 4) to the other two
+production confs; reference analog: scripts/run_ABC.bash:8-17 per conf.
+
+Env: PROD_CONF (ABC), PROD_OUT (./e2e_prod_<conf>), PROD_ITERS (0 = conf
+verbatim), PROD_OBJ (cube).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, REPO)
+
+CONF = os.environ.get("PROD_CONF", "ABC")
+OUT = os.path.abspath(
+    os.environ.get("PROD_OUT", f"./e2e_prod_{CONF.lower()}")
+)
+ITERS = int(os.environ.get("PROD_ITERS", "0"))  # 0 = conf verbatim
+OBJ = os.environ.get("PROD_OBJ", "cube")
+
+
+def main() -> None:
+    from emap_tpu import config
+    from emap_tpu.cli import main as cli_main
+    from emap_tpu.data.synthetic import make_synthetic_scene
+
+    conf = config.parse_file(os.path.join(REPO, "confs", f"{CONF}.conf"))
+    scan = conf.get_string("dataset.scan")
+    detector = conf.get_string("dataset.detector")
+    end_iter = ITERS or conf.get_int("train.end_iter")
+
+    os.makedirs(OUT, exist_ok=True)
+    data_dir = os.path.join(OUT, "data")
+    make_synthetic_scene(data_dir, scan=scan, n_views=24, H=128, W=128,
+                         detector=detector, far=4.5, obj=OBJ)
+
+    conf["general.base_exp_dir"] = os.path.join(OUT, "exp")
+    conf["general.recording"] = []
+    conf["dataset.data_dir"] = data_dir
+    conf["dataset.far"] = 4.5  # synthetic cameras orbit at r=2.2
+    conf["train.latest_model_name"] = "ckpt_best.npz"  # native ckpt format
+    if ITERS:  # smoke override only; production runs verbatim
+        conf["train.end_iter"] = ITERS
+    conf_path = os.path.join(OUT, f"{CONF}_standin.conf")
+    with open(conf_path, "w") as f:
+        f.write(conf.to_hocon())
+
+    t0 = time.time()
+    cli_main(["--conf", conf_path, "--mode", "train"])
+    train_wall = time.time() - t0
+
+    t1 = time.time()
+    cli_main(["--conf", conf_path, "--mode", "extract_edge"])
+    extract_wall = time.time() - t1
+
+    # ---- schedule-behavior confirmation from the final checkpoint --------
+    from emap_tpu.ckpt.native import load_pytree
+    from emap_tpu.train import schedules
+
+    expname = conf.get_string("general.expname")
+    exp_dir = os.path.join(OUT, "exp", scan, expname)
+    ckpt = load_pytree(os.path.join(exp_dir, "checkpoints", "ckpt_best.npz"))
+    flags = {k: bool(v) for k, v in ckpt["flags"].items()}
+    gates = {
+        "iter_step": int(ckpt["iter_step"]),
+        **flags,
+        "flip_saturation_at_0": float(schedules.flip_saturation(0, end_iter)),
+        "flip_saturation_mid": float(
+            schedules.flip_saturation(end_iter // 2, end_iter)
+        ),
+        "flip_saturation_end": float(
+            schedules.flip_saturation(end_iter - 1, end_iter)
+        ),
+    }
+
+    # ---- score vs the analytic wireframe (ABC protocol) ------------------
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from e2e_synthetic import score_extraction
+
+    with open(os.path.join(exp_dir, "results", "parametric_edges.json")) as f:
+        edges = json.load(f)
+    edge_dict = {
+        "lines_end_pts": edges.get("lines_end_pts", []),
+        "curves_ctl_pts": edges.get("curves_ctl_pts", []),
+    }
+    score = score_extraction(exp_dir, edge_dict, OBJ)
+
+    report = {
+        "conf": f"confs/{CONF}.conf (data_dir/far overridden)",
+        "iters": end_iter,
+        "train_wall_s": round(train_wall, 1),
+        "extract_wall_s": round(extract_wall, 1),
+        "gates": gates,
+        "score": score,
+    }
+    with open(os.path.join(OUT, "report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
