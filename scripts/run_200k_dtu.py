@@ -13,7 +13,9 @@ the analytic wireframe GT and reports the >50k-regime schedule behavior
 the checkpoint flags and metric history.
 
 Env: DTU200K_OUT (./e2e_dtu200k), DTU200K_ITERS (200000 — override only for
-smokes), DTU200K_OBJ (cube).
+smokes), DTU200K_OBJ (cube), DTU200K_CONF ("DTU"; set "Replica" to drive
+confs/Replica.conf verbatim instead — same 200k contract,
+/root/reference/confs/Replica.conf:29 — with its own scan name "room0").
 """
 
 from __future__ import annotations
@@ -29,6 +31,8 @@ sys.path.insert(0, REPO)
 OUT = os.path.abspath(os.environ.get("DTU200K_OUT", "./e2e_dtu200k"))
 ITERS = int(os.environ.get("DTU200K_ITERS", "200000"))
 OBJ = os.environ.get("DTU200K_OBJ", "cube")
+CONF = os.environ.get("DTU200K_CONF", "DTU")
+SCAN = {"DTU": "scan105", "Replica": "room0"}[CONF]
 
 
 def main() -> None:
@@ -38,10 +42,10 @@ def main() -> None:
 
     os.makedirs(OUT, exist_ok=True)
     data_dir = os.path.join(OUT, "data")
-    make_synthetic_scene(data_dir, scan="scan105", n_views=24, H=128, W=128,
+    make_synthetic_scene(data_dir, scan=SCAN, n_views=24, H=128, W=128,
                          detector="PidiNet", far=4.5, obj=OBJ)
 
-    conf = config.parse_file(os.path.join(REPO, "confs", "DTU.conf"))
+    conf = config.parse_file(os.path.join(REPO, "confs", f"{CONF}.conf"))
     conf["general.base_exp_dir"] = os.path.join(OUT, "exp")
     conf["general.recording"] = []
     conf["dataset.data_dir"] = data_dir
@@ -49,7 +53,7 @@ def main() -> None:
     conf["train.latest_model_name"] = "ckpt_best.npz"  # native ckpt format
     if ITERS != 200000:  # smoke override only; production runs verbatim
         conf["train.end_iter"] = ITERS
-    conf_path = os.path.join(OUT, "DTU_standin.conf")
+    conf_path = os.path.join(OUT, f"{CONF}_standin.conf")
     with open(conf_path, "w") as f:
         f.write(conf.to_hocon())
 
@@ -65,7 +69,7 @@ def main() -> None:
     from emap_tpu.ckpt.native import load_pytree
     from emap_tpu.train import schedules
 
-    exp_dir = os.path.join(OUT, "exp", "scan105", "emap")
+    exp_dir = os.path.join(OUT, "exp", SCAN, "emap")
     ckpt = load_pytree(os.path.join(exp_dir, "checkpoints", "ckpt_best.npz"))
     flags = {k: bool(v) for k, v in ckpt["flags"].items()}
     gates = {
@@ -93,7 +97,7 @@ def main() -> None:
     score = score_extraction(exp_dir, edge_dict, OBJ)
 
     report = {
-        "conf": "confs/DTU.conf (data_dir/scan/far overridden)",
+        "conf": f"confs/{CONF}.conf (data_dir/scan/far overridden)",
         "iters": ITERS,
         "train_wall_s": round(train_wall, 1),
         "extract_wall_s": round(extract_wall, 1),

@@ -12,7 +12,9 @@ Generalizes scripts/run_200k_dtu.py (VERDICT r1 item 4) to the other two
 production confs; reference analog: scripts/run_ABC.bash:8-17 per conf.
 
 Env: PROD_CONF (ABC), PROD_OUT (./e2e_prod_<conf>), PROD_ITERS (0 = conf
-verbatim), PROD_OBJ (cube).
+verbatim), PROD_OBJ (cube), PROD_SEED (0 = conf verbatim, i.e. the
+reference's fixed seed 42 — set to vary the training RNG for multi-seed
+suites; everything else stays conf-verbatim).
 """
 
 from __future__ import annotations
@@ -31,6 +33,7 @@ OUT = os.path.abspath(
 )
 ITERS = int(os.environ.get("PROD_ITERS", "0"))  # 0 = conf verbatim
 OBJ = os.environ.get("PROD_OBJ", "cube")
+SEED = int(os.environ.get("PROD_SEED", "0"))  # 0 = conf verbatim (42)
 
 
 def main() -> None:
@@ -55,6 +58,8 @@ def main() -> None:
     conf["train.latest_model_name"] = "ckpt_best.npz"  # native ckpt format
     if ITERS:  # smoke override only; production runs verbatim
         conf["train.end_iter"] = ITERS
+    if SEED:  # multi-seed suites only; production runs verbatim (seed 42)
+        conf["train.seed"] = SEED
     conf_path = os.path.join(OUT, f"{CONF}_standin.conf")
     with open(conf_path, "w") as f:
         f.write(conf.to_hocon())
@@ -101,6 +106,7 @@ def main() -> None:
 
     report = {
         "conf": f"confs/{CONF}.conf (data_dir/far overridden)",
+        "seed": SEED or 42,
         "iters": end_iter,
         "train_wall_s": round(train_wall, 1),
         "extract_wall_s": round(extract_wall, 1),
