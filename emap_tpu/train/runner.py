@@ -191,6 +191,7 @@ class Runner:
                 opt=opt,
                 step=jnp.asarray(imported["iter_step"], jnp.int32),
                 key=self.state.key,
+                perm_key=self.state.perm_key,
                 beta_trainable=self.state.beta_trainable,
                 gamma_trainable=self.state.gamma_trainable,
                 zeta_trainable=self.state.zeta_trainable,
@@ -211,6 +212,7 @@ class Runner:
                 ),
                 step=jnp.asarray(payload["iter_step"], jnp.int32),
                 key=self.state.key,
+                perm_key=self.state.perm_key,
                 beta_trainable=jnp.asarray(bool(flags["beta_trainable"])),
                 gamma_trainable=jnp.asarray(bool(flags["gamma_trainable"])),
                 zeta_trainable=jnp.asarray(bool(flags["zeta_trainable"])),

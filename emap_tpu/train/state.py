@@ -25,6 +25,15 @@ class TrainState:
     opt: AdamState
     step: jnp.ndarray  # int32 scalar
     key: jax.Array  # threaded PRNG key
+    # epoch-permutation stream root (runner_udf.py:46, :249-250). Carried in
+    # the state (a runtime input) rather than closed over in the step so the
+    # compiled program is seed-independent: baking it as a trace-time
+    # constant forced a full recompile of the chained train program for
+    # every new train.seed. Derived as key(seed + 7919) from init_train_state
+    # — the same stream as the old trace-time constant whenever the state
+    # seed equals train.seed (always true through the Runner/CLI), so
+    # production trajectories are bit-identical to the recorded results.
+    perm_key: jax.Array
     # dynamic trainability gates (runner_udf.py:140-154)
     beta_trainable: jnp.ndarray  # bool
     gamma_trainable: jnp.ndarray  # bool
@@ -40,6 +49,7 @@ jax.tree_util.register_dataclass(
         "opt",
         "step",
         "key",
+        "perm_key",
         "beta_trainable",
         "gamma_trainable",
         "zeta_trainable",
@@ -74,6 +84,8 @@ def init_train_state(
         opt=adam_init(params),
         step=jnp.zeros((), jnp.int32),
         key=k_loop,
+        # same stream as the historical trace-time constant (seed + 7919)
+        perm_key=jax.random.key(seed + 7919),
         beta_trainable=jnp.asarray(requires_grad_beta),
         gamma_trainable=jnp.asarray(requires_grad_gamma),
         zeta_trainable=jnp.asarray(requires_grad_zeta),

@@ -126,7 +126,6 @@ def _build_train_step_fn(tcfg: TrainConfig, rcfg: RenderConfig,
     scripts/rehearse_ckpt_restore.py to run matched-batch post-resume
     trajectories against the torch reference).
     """
-    perm_key = jax.random.key(tcfg.seed + 7919)
     if mesh is not None:
         assert tcfg.batch_size % mesh.shape[axis] == 0, (
             f"batch_size {tcfg.batch_size} must divide mesh axis "
@@ -143,7 +142,7 @@ def _build_train_step_fn(tcfg: TrainConfig, rcfg: RenderConfig,
             # epoch-wise image permutation (runner_udf.py:46, :249-250)
             epoch = step // n_images
             perm = jax.random.permutation(
-                jax.random.fold_in(perm_key, epoch), n_images
+                jax.random.fold_in(state.perm_key, epoch), n_images
             )
             img_idx = perm[step % n_images]
 
@@ -242,6 +241,7 @@ def _build_train_step_fn(tcfg: TrainConfig, rcfg: RenderConfig,
             opt=new_opt,
             step=step + 1,
             key=key_next,
+            perm_key=state.perm_key,
             beta_trainable=new_beta_trainable,
             gamma_trainable=state.gamma_trainable,
             zeta_trainable=state.zeta_trainable,

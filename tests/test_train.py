@@ -168,6 +168,37 @@ class TestTrainStep:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-5, atol=1e-7)
 
+    def test_program_is_seed_independent(self, tiny_setup):
+        """The compiled train program must not depend on train.seed: the
+        epoch-permutation key lives in TrainState (a runtime input), so two
+        TrainConfigs differing only in seed lower to the SAME HLO — one
+        compile-cache entry serves every seed/scan (baking the key as a
+        trace-time constant used to force a ~10-min remote recompile of the
+        chained production program per seed)."""
+        import dataclasses
+
+        from emap_tpu.train.step import _build_train_step_fn
+
+        scene, pool, ucfg, rcfg, tcfg = tiny_setup
+        state = init_train_state(3, ucfg)
+
+        texts = []
+        for seed in (3, 1234):
+            fn = _build_train_step_fn(
+                dataclasses.replace(tcfg, seed=seed), rcfg, ucfg,
+                scene.n_images,
+            )
+            texts.append(jax.jit(fn).lower(state, pool).as_text())
+        assert texts[0] == texts[1]
+
+        # and the perm stream matches the historical trace-time constant
+        s = init_train_state(1234, ucfg)
+        expect = jax.random.key(1234 + 7919)
+        assert np.asarray(
+            jax.random.key_data(s.perm_key)
+            == jax.random.key_data(expect)
+        ).all()
+
     def test_state_flags_and_metrics(self, tiny_setup):
         scene, pool, ucfg, rcfg, tcfg = tiny_setup
         state = init_train_state(0, ucfg)
