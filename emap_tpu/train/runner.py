@@ -15,6 +15,7 @@ checkpoints load through emap_tpu.ckpt.pth_import.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import logging
 import os
@@ -81,6 +82,15 @@ class Runner:
         self.model_type = conf.get_string("general.model_type", "udf")
         self.ucfg = UDFConfig.from_conf(conf.get_config("model.udf_network"))
         self.rcfg = RenderConfig.from_conf(conf.get_config("model.udf_renderer"))
+        if (
+            "model.udf_network.precision" in conf
+            and "model.udf_renderer.field_precision" not in conf
+        ):
+            # An explicitly pinned model tier is the one-knob f32 escape
+            # hatch; it must also govern the train-path field query unless
+            # the conf separately pins field_precision (whose conf-default
+            # is the fast bf16 tier, RenderConfig.from_conf).
+            self.rcfg = dataclasses.replace(self.rcfg, field_precision="")
         self.tcfg = TrainConfig.from_conf(conf, self.near, self.far)
 
         self.end_iter = conf.get_int("train.end_iter")

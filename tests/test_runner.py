@@ -214,3 +214,28 @@ def test_visibility_checking_path(runner_conf):
         per_curve + per_line, edges, intrinsics, camtoworld, h, w, 0.5, 1
     )
     assert not vis[1]
+
+
+def test_pinned_model_precision_governs_train_field_tier(runner_conf):
+    """An explicitly pinned model.udf_network.precision is the one-knob f32
+    escape hatch: it must override the conf-default bf16 train-path
+    field_precision unless the conf pins field_precision itself."""
+    import copy
+
+    from emap_tpu.train.runner import Runner
+
+    # no precision keys anywhere -> conf-driven production default (bf16)
+    runner = Runner(runner_conf, mode="validate")
+    assert runner.rcfg.field_precision == "default"
+
+    # pinned model tier, no field_precision -> inherit the pinned tier
+    conf = copy.deepcopy(runner_conf)
+    conf["model.udf_network.precision"] = "highest"
+    runner = Runner(conf, mode="validate")
+    assert runner.rcfg.field_precision == ""
+    assert runner.ucfg.precision == "highest"
+
+    # both pinned -> field_precision wins for the train path
+    conf["model.udf_renderer.field_precision"] = "default"
+    runner = Runner(conf, mode="validate")
+    assert runner.rcfg.field_precision == "default"
