@@ -102,6 +102,9 @@ def main(argv=None) -> None:
             iters=ee.get_int("iters"),
             is_linedirection=ee.get_bool("is_linedirection"),
             visible_checking=ee.get_bool("visible_checking"),
+            auto_threshold=[
+                float(t) for t in ee.get_list("auto_threshold", [])
+            ],
         )
 
 

@@ -582,28 +582,79 @@ class Runner:
         iters: int = 1,
         is_linedirection: bool = False,
         visible_checking: bool = False,
+        auto_threshold: "list[float] | None" = None,
     ) -> dict:
+        """Extract parametric edges from the trained UDF.
+
+        auto_threshold (no reference counterpart): a non-empty list of
+        candidate udf_thresholds switches on GT-free threshold selection —
+        each candidate is extracted and scored against the observed 2D edge
+        maps (extract/autothresh.py), the argmax wins, and the per-candidate
+        table lands in results/threshold_selection.json. udf_threshold is
+        ignored in that mode. The dense grid pass re-runs per candidate;
+        at production 256^3 that is ~10 s per extra candidate (BASELINE.md).
+        """
         self.load_checkpoint()
         if self.model_type != "udf":
             raise NotImplementedError(
                 "model types other than 'udf' are not supported"
             )
 
-        points, line_dirs = extract_pointcloud(
-            self.state.params["udf"],
-            self.ucfg,
-            resolution=resolution,
-            udf_threshold=udf_threshold,
-            sampling_N=sampling_N,
-            sampling_delta=sampling_delta,
-            is_pointshift=is_pointshift,
-            iters=iters,
-            is_linedirection=is_linedirection,
-        )
-        ld_colors = (line_dirs + 1.0) / 2.0
+        def extract_at(thr: float):
+            points, line_dirs = extract_pointcloud(
+                self.state.params["udf"],
+                self.ucfg,
+                resolution=resolution,
+                udf_threshold=thr,
+                sampling_N=sampling_N,
+                sampling_delta=sampling_delta,
+                is_pointshift=is_pointshift,
+                iters=iters,
+                is_linedirection=is_linedirection,
+            )
+            ld_colors = (line_dirs + 1.0) / 2.0
+            pred_points, edge_dict = get_parametric_edge(
+                points,
+                ld_colors,
+                resolution,
+                self.scene.detector,
+                self.scene.data_dir,
+                visible_checking=visible_checking,
+            )
+            return points, ld_colors, pred_points, edge_dict
 
         result_dir = os.path.join(self.base_exp_dir, "results")
         os.makedirs(result_dir, exist_ok=True)
+
+        if auto_threshold:
+            from emap_tpu.extract.autothresh import select_udf_threshold
+
+            cache: dict[float, tuple] = {}
+
+            def edge_dict_at(thr: float) -> dict:
+                cache[thr] = extract_at(thr)
+                return cache[thr][3]
+
+            best_thr, _, rows = select_udf_threshold(
+                edge_dict_at,
+                list(auto_threshold),
+                self.scene.data_dir,
+                self.scene.detector,
+            )
+            points, ld_colors, pred_points, edge_dict = cache[best_thr]
+            with open(
+                os.path.join(result_dir, "threshold_selection.json"), "w"
+            ) as f:
+                json.dump(
+                    {"picked": best_thr, "candidates": rows}, f, indent=1
+                )
+            logger.info(
+                "auto_threshold picked %.3g from %s", best_thr, auto_threshold
+            )
+        else:
+            points, ld_colors, pred_points, edge_dict = extract_at(
+                udf_threshold
+            )
 
         from emap_tpu.utils.ply import write_ply_points
 
@@ -611,15 +662,6 @@ class Runner:
             os.path.join(result_dir, "udf_pointcloud_withdirection.ply"),
             points,
             ld_colors,
-        )
-
-        pred_points, edge_dict = get_parametric_edge(
-            points,
-            ld_colors,
-            resolution,
-            self.scene.detector,
-            self.scene.data_dir,
-            visible_checking=visible_checking,
         )
 
         write_ply_points(

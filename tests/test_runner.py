@@ -216,6 +216,41 @@ def test_visibility_checking_path(runner_conf):
     assert not vis[1]
 
 
+def test_extract_edge_auto_threshold(runner_conf, tmp_path):
+    """auto_threshold extracts every candidate, scores each against the 2D
+    edge maps, writes the per-candidate table, and keeps the argmax's
+    artifacts (extract/autothresh.py; no reference counterpart)."""
+    from emap_tpu.train.runner import Runner
+
+    conf = config.Config(json.loads(json.dumps(runner_conf.as_dict())))
+    conf["general"]["base_exp_dir"] = str(tmp_path / "exp_auto")
+    runner = Runner(conf, mode="train")
+    runner.save_checkpoint(0.0)  # geometric-init field: a sphere-ish UDF
+
+    candidates = [0.2, 0.3]
+    edge_dict = runner.extract_edge(
+        resolution=16, udf_threshold=99.0, sampling_N=8, sampling_delta=0.01,
+        is_pointshift=True, iters=1, is_linedirection=True,
+        visible_checking=False, auto_threshold=candidates,
+    )
+    results = os.path.join(runner.base_exp_dir, "results")
+    with open(os.path.join(results, "threshold_selection.json")) as f:
+        sel = json.load(f)
+    assert sel["picked"] in candidates
+    rows = sel["candidates"]
+    assert [r["udf_threshold"] for r in rows] == candidates
+    assert all(0.0 <= r["f2d"] <= 1.0 for r in rows)
+    picked_row = next(r for r in rows if r["udf_threshold"] == sel["picked"])
+    assert picked_row["f2d"] == max(r["f2d"] for r in rows)
+    # the written parametric_edges.json is the picked candidate's
+    with open(os.path.join(results, "parametric_edges.json")) as f:
+        assert json.load(f) == edge_dict
+    assert (
+        len(edge_dict["curves_ctl_pts"]) == picked_row["n_curves"]
+        and len(edge_dict["lines_end_pts"]) == picked_row["n_lines"]
+    )
+
+
 def test_pinned_model_precision_governs_train_field_tier(runner_conf):
     """An explicitly pinned model.udf_network.precision is the one-knob f32
     escape hatch: it must override the conf-default bf16 train-path
