@@ -139,21 +139,116 @@ def score_edges_2d(
     }
 
 
+def build_probe_points(
+    params,
+    ucfg,
+    resolution: int,
+    loose_threshold: float,
+    confidence: float = 2e-3,
+    sampling_N: int = 50,
+    sampling_delta: float = 5e-3,
+    max_points: int = 200_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """A GT-free 3D reference set: the field's own high-confidence zero set.
+
+    Extract near-surface points at the LOOSEST candidate threshold (so no
+    edge region is missed), point-shift them onto the zero set, then keep
+    only points the field itself certifies (|udf| <= confidence — the
+    diagnosed checkpoints put shifted points at |udf| ~1e-3 while carving
+    true edges to ~1.4 mm, BASELINE.md weak-seed diagnosis). The result
+    stands in for GT in score_edges_3d; it is candidate-independent, so the
+    same probe scores every candidate."""
+    import jax
+    import jax.numpy as jnp
+
+    from emap_tpu.extract.pointcloud import extract_pointcloud
+    from emap_tpu.fields.udf import udf_value
+
+    xyz, _ = extract_pointcloud(
+        params,
+        ucfg,
+        resolution=resolution,
+        udf_threshold=loose_threshold,
+        sampling_N=sampling_N,
+        sampling_delta=sampling_delta,
+        is_pointshift=True,
+        iters=2,
+        is_linedirection=False,
+        seed=seed,
+    )
+    if len(xyz) == 0:
+        return xyz
+
+    fn = jax.jit(lambda p, x: jnp.abs(udf_value(p, x, ucfg)))
+    chunk = 1 << 18
+    pad = (-len(xyz)) % chunk
+    padded = np.concatenate([xyz, np.zeros((pad, 3), np.float32)])
+    vals = np.concatenate([
+        np.asarray(fn(params, jnp.asarray(padded[i:i + chunk])))
+        for i in range(0, len(padded), chunk)
+    ])[: len(xyz)]
+    probe = xyz[vals <= confidence]
+    if len(probe) > max_points:
+        rng = np.random.default_rng(seed)
+        probe = probe[rng.choice(len(probe), max_points, replace=False)]
+    return probe
+
+
+def score_edges_3d(
+    edge_dict: dict,
+    probe_points: np.ndarray,
+    radius: float = 0.005,
+    sample_resolution: float = 0.005,
+) -> dict:
+    """3D pseudo-F of fitted parametric edges against the probe set, at the
+    eval protocol's own 5 mm radius. 2D maps cannot resolve this (5 mm is
+    sub-pixel at the validation image scale); f32 3D distances can."""
+    from scipy.spatial import cKDTree
+
+    curves = np.asarray(edge_dict["curves_ctl_pts"], np.float64).reshape(-1, 12)
+    lines = np.asarray(edge_dict["lines_end_pts"], np.float64).reshape(-1, 6)
+    pred, _, _ = sample_primitives(
+        curves, lines, sample_resolution=sample_resolution
+    )
+    if len(pred) == 0 or len(probe_points) == 0:
+        return {"precision3d": 0.0, "recall3d": 0.0, "f3d": 0.0,
+                "n_pred": int(len(pred)), "n_probe": int(len(probe_points))}
+    probe = np.asarray(probe_points, np.float64)
+    d_pred = cKDTree(probe).query(pred, k=1)[0]
+    d_probe = cKDTree(pred.astype(np.float64)).query(probe, k=1)[0]
+    p = float((d_pred <= radius).mean())
+    r = float((d_probe <= radius).mean())
+    f = 2.0 * p * r / (p + r) if (p + r) > 0 else 0.0
+    return {"precision3d": round(p, 4), "recall3d": round(r, 4),
+            "f3d": round(f, 4), "n_pred": int(len(pred)),
+            "n_probe": int(len(probe))}
+
+
 def select_udf_threshold(
     extract_at: Callable[[float], dict],
     candidates: Sequence[float],
     data_dir: str,
     detector: str,
     match_px: float = 3.0,
+    probe_points: np.ndarray | None = None,
+    veto_frac: float = 0.8,
 ) -> tuple[float, dict, list[dict]]:
-    """Run `extract_at(thr)` for every candidate, score each with
-    score_edges_2d, and return (best_thr, best_edge_dict, rows) where rows
-    is the per-candidate score table (ties break toward the smaller
-    threshold, i.e. the first argmax)."""
+    """Run `extract_at(thr)` for every candidate, score each, and return
+    (best_thr, best_edge_dict, rows) where rows is the per-candidate score
+    table (ties break toward the smaller threshold, i.e. the first argmax).
+
+    With `probe_points` (build_probe_points), the pick is pick_candidate's
+    f3d-primary rule; without, it falls back to argmax f2d alone (coarse —
+    the 2D score saturates once every candidate reprojects within match_px,
+    validated mean F@5mm 0.635→0.697 for 2D-only vs 0.717 for the probe
+    rule on the diagnosed checkpoints, diag_seeds/autothresh_validation)."""
     rows, dicts = [], []
     for thr in candidates:
         edge_dict = extract_at(float(thr))
         score = score_edges_2d(edge_dict, data_dir, detector, match_px)
+        if probe_points is not None:
+            score = {**score, **score_edges_3d(edge_dict, probe_points)}
         rows.append({
             "udf_threshold": float(thr),
             "n_curves": len(edge_dict["curves_ctl_pts"]),
@@ -161,5 +256,28 @@ def select_udf_threshold(
             **score,
         })
         dicts.append(edge_dict)
-    best = int(np.argmax([r["f2d"] for r in rows]))
+    best = pick_candidate(rows, veto_frac)
     return float(candidates[best]), dicts[best], rows
+
+
+def pick_candidate(rows: list, veto_frac: float = 0.8) -> int:
+    """THE selection rule (one place; the validation driver imports it).
+
+    Rank by f3d — the probe pseudo-F at the eval protocol's own 5 mm radius,
+    the only score that resolves sub-pixel 3D placement — among candidates
+    whose f2d clears a gross-failure gate (>= veto_frac * best f2d). The
+    gate exists to kill phantom 3D structure the field's spurious zeros
+    might support (such structure reprojects onto non-edge background and
+    craters f2d toward 0), while mild f2d dips (a few percent) are noise the
+    f3d ranking must be allowed to override. On the three diagnosed 50k
+    checkpoints this rule picks the GT-oracle-best threshold for every seed
+    (mean F@5mm 0.635 → 0.717, zero regret); multiplying f3d*f2d instead
+    loses seed 3's win to a 5% f2d dip. Rows without f3d rank by f2d."""
+    if not rows:
+        raise ValueError("pick_candidate needs at least one row")
+    if "f3d" not in rows[0]:
+        return int(np.argmax([r["f2d"] for r in rows]))
+    f2d_max = max(r["f2d"] for r in rows)
+    eligible = [i for i, r in enumerate(rows)
+                if r["f2d"] >= veto_frac * f2d_max]
+    return max(eligible, key=lambda i: (rows[i]["f3d"], -i))

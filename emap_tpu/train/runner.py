@@ -627,7 +627,10 @@ class Runner:
         os.makedirs(result_dir, exist_ok=True)
 
         if auto_threshold:
-            from emap_tpu.extract.autothresh import select_udf_threshold
+            from emap_tpu.extract.autothresh import (
+                build_probe_points,
+                select_udf_threshold,
+            )
 
             cache: dict[float, tuple] = {}
 
@@ -635,11 +638,22 @@ class Runner:
                 cache[thr] = extract_at(thr)
                 return cache[thr][3]
 
+            # the field's own certified zero set stands in for GT when
+            # ranking candidates (autothresh.pick_candidate)
+            probe = build_probe_points(
+                self.state.params["udf"],
+                self.ucfg,
+                resolution,
+                loose_threshold=max(auto_threshold),
+                sampling_N=sampling_N,
+                sampling_delta=sampling_delta,
+            )
             best_thr, _, rows = select_udf_threshold(
                 edge_dict_at,
                 list(auto_threshold),
                 self.scene.data_dir,
                 self.scene.detector,
+                probe_points=probe,
             )
             points, ld_colors, pred_points, edge_dict = cache[best_thr]
             with open(

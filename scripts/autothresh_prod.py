@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Production-protocol auto-threshold suite: re-extract the trained
+production checkpoints (prod_suite/s*, e2e_prod_abc for seed 42 — conf
+verbatim ABC, 50k x 1024, res-128 extraction) with
+edge_extraction.auto_threshold candidates instead of the fixed 0.02, and
+score both against the analytic wireframe GT.
+
+Reports, per seed: the fixed-threshold production F@5mm (from the recorded
+report.json), the auto-selected threshold, its F@5mm, and the oracle best —
+the production-settings counterpart of scripts/validate_autothresh.py.
+
+Env: AP_DIRS (default "e2e_prod_abc prod_suite/s7 prod_suite/s99
+prod_suite/s3 prod_suite/s1234" — missing dirs skipped), AP_THRESHOLDS
+("0.02 0.03 0.04 0.05"). Writes prod_suite/autothresh_prod.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+from e2e_synthetic import score_extraction  # noqa: E402
+
+DIRS = os.environ.get(
+    "AP_DIRS",
+    "e2e_prod_abc prod_suite/s7 prod_suite/s99 prod_suite/s3 "
+    "prod_suite/s1234",
+).split()
+THRESHOLDS = [float(t) for t in
+              os.environ.get("AP_THRESHOLDS", "0.02 0.03 0.04 0.05").split()]
+
+
+def run_dir(out: str) -> dict | None:
+    from emap_tpu import config
+    from emap_tpu.extract.autothresh import score_edges_2d
+    from emap_tpu.train.runner import Runner
+
+    conf_path = os.path.join(REPO, out, "ABC_standin.conf")
+    report_path = os.path.join(REPO, out, "report.json")
+    if not (os.path.isfile(conf_path) and os.path.isfile(report_path)):
+        print(f"skip {out} (no conf/report)", flush=True)
+        return None
+    conf = config.parse_file(conf_path)
+    report = json.load(open(report_path))
+    runner = Runner(conf, mode="extract_edge")
+    ee = conf.get_config("edge_extraction")
+
+    rows = []
+    for thr in THRESHOLDS:
+        edge_dict = runner.extract_edge(
+            resolution=ee.get_int("resolution"),
+            udf_threshold=thr,
+            sampling_N=ee.get_int("sampling_N"),
+            sampling_delta=ee.get_float("sampling_delta"),
+            is_pointshift=ee.get_bool("is_pointshift"),
+            iters=ee.get_int("iters"),
+            is_linedirection=ee.get_bool("is_linedirection"),
+            visible_checking=ee.get_bool("visible_checking"),
+        )
+        gt = score_extraction(runner.base_exp_dir, edge_dict, "cube")
+        s2d = score_edges_2d(edge_dict, runner.scene.data_dir,
+                             runner.scene.detector)
+        rows.append({"udf_threshold": thr, "f5_gt": gt["fscore_0.005"],
+                     "f10_gt": gt["fscore_0.01"], **s2d})
+        print(json.dumps({"dir": out, **rows[-1]}), flush=True)
+
+    f5 = np.array([r["f5_gt"] for r in rows])
+    pick = int(np.argmax([r["f2d"] for r in rows]))
+    return {
+        "dir": out,
+        "seed": report["seed"],
+        "f5_production_fixed": report["score"]["fscore_0.005"],
+        "picked_threshold": THRESHOLDS[pick],
+        "f5_picked": float(f5[pick]),
+        "f5_oracle_best": float(f5.max()),
+        "rows": rows,
+    }
+
+
+def main() -> None:
+    results = [r for r in (run_dir(d) for d in DIRS) if r]
+    fixed = [r["f5_production_fixed"] for r in results]
+    picked = [r["f5_picked"] for r in results]
+    summary = {
+        "thresholds": THRESHOLDS,
+        "results": results,
+        "mean_f5_fixed": round(float(np.mean(fixed)), 4),
+        "mean_f5_picked": round(float(np.mean(picked)), 4),
+        "std_f5_fixed": round(float(np.std(fixed)), 4),
+        "std_f5_picked": round(float(np.std(picked)), 4),
+    }
+    with open(os.path.join(REPO, "prod_suite", "autothresh_prod.json"),
+              "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps({k: summary[k] for k in summary if k != "results"}))
+
+
+if __name__ == "__main__":
+    main()

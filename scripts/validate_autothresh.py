@@ -3,12 +3,14 @@
 the three diagnosed 50k production checkpoints (diag_seeds/, BASELINE.md
 "Weak-seed tail diagnosis").
 
-For each seed: re-extract at every candidate threshold, score each candidate
-both ways — the ABC-protocol GT F@5mm (what we want to maximize but cannot
-see in production) and the GT-free 2D pseudo-F (what the selector actually
-maximizes) — then report, per seed: the rank correlation between the two,
-the threshold the selector picks, and the F@5mm delta of the pick vs the
-fixed-threshold harness default (0.03).
+For each seed: build the GT-free probe set once, re-extract at every
+candidate threshold, score each candidate three ways — the ABC-protocol GT
+F@5mm (what we want to maximize but cannot see in production), the 2D
+pseudo-F against the observed edge maps (the gross-failure gate), and the
+3D probe pseudo-F (the ranking signal) — then report, per seed: the rank
+correlation of f3d vs GT F, the threshold pick_candidate (the shipped rule)
+selects, and the F@5mm delta of the pick vs the fixed-threshold harness
+default (0.03).
 
 Env: AT_SEEDS ("3 99 42"), AT_THRESHOLDS ("0.02 0.03 0.04 0.05"), AT_OUT
 (./diag_seeds — must hold the trained checkpoints), AT_RES (96).
@@ -38,13 +40,22 @@ DEFAULT_THR = float(os.environ.get("AT_DEFAULT", "0.03"))
 
 
 def validate(seed: int) -> dict:
-    from emap_tpu.extract.autothresh import score_edges_2d
+    from emap_tpu.extract.autothresh import (
+        build_probe_points,
+        score_edges_2d,
+        score_edges_3d,
+    )
     from emap_tpu.train.runner import Runner
 
     out_dir = os.path.join(OUT, f"s{seed}")
     conf = build_conf(out_dir, steps=50000, batch=512, seed=seed, obj=OBJ,
                       res=RES)
     runner = Runner(conf, mode="extract_edge")
+    runner.load_checkpoint()
+    probe = build_probe_points(
+        runner.state.params["udf"], runner.ucfg, RES, max(THRESHOLDS)
+    )
+    print(json.dumps({"seed": seed, "n_probe": len(probe)}), flush=True)
 
     rows = []
     for thr in THRESHOLDS:
@@ -56,18 +67,21 @@ def validate(seed: int) -> dict:
         gt = score_extraction(runner.base_exp_dir, edge_dict, OBJ)
         s2d = score_edges_2d(edge_dict, runner.scene.data_dir,
                              runner.scene.detector)
+        s3d = score_edges_3d(edge_dict, probe)
         row = {"udf_threshold": thr, "f5_gt": gt["fscore_0.005"],
-               "f10_gt": gt["fscore_0.01"], **s2d}
+               "f10_gt": gt["fscore_0.01"], **s2d, **s3d}
         rows.append(row)
         print(json.dumps({"seed": seed, **row}), flush=True)
 
+    from emap_tpu.extract.autothresh import pick_candidate
+
     f5 = np.array([r["f5_gt"] for r in rows])
-    f2d = np.array([r["f2d"] for r in rows])
-    pick = int(np.argmax(f2d))
+    f3d = np.array([r["f3d"] for r in rows])
+    pick = pick_candidate(rows)  # THE shipped rule, imported verbatim
     default_i = THRESHOLDS.index(DEFAULT_THR)
     # Spearman by hand (scipy-free): correlation of the two rank vectors
     rk = lambda v: np.argsort(np.argsort(v)).astype(float)  # noqa: E731
-    ra, rb = rk(f5), rk(f2d)
+    ra, rb = rk(f5), rk(f3d)
     spearman = float(np.corrcoef(ra, rb)[0, 1])
     return {
         "seed": seed,
@@ -78,7 +92,7 @@ def validate(seed: int) -> dict:
         "f5_oracle_best": float(f5.max()),
         "delta_vs_default": round(float(f5[pick] - f5[default_i]), 4),
         "regret_vs_oracle": round(float(f5.max() - f5[pick]), 4),
-        "spearman_f2d_vs_f5": round(spearman, 3),
+        "spearman_f3d_vs_f5": round(spearman, 3),
     }
 
 

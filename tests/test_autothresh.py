@@ -77,6 +77,116 @@ def test_empty_extraction_scores_zero(cube_scene):
     }
 
 
+def test_score_edges_3d_discriminates():
+    from emap_tpu.data.synthetic import sample_cube_edge_points
+    from emap_tpu.extract.autothresh import score_edges_3d
+
+    probe = sample_cube_edge_points(0.5, spacing=0.005)
+    s_true = score_edges_3d(_edge_dict(cube_edges(0.5)), probe)
+    assert s_true["f3d"] > 0.99, s_true
+
+    # 8 mm diagonal displacement: the perpendicular offset of every
+    # axis-aligned edge is ~11 mm — invisible to the 2D score at this image
+    # scale, decisive for the 3D score at the protocol's 5 mm radius
+    s_off = score_edges_3d(
+        _edge_dict(cube_edges(0.5) + np.array([0.008, 0.008, 0.008])), probe
+    )
+    assert s_off["f3d"] < 0.05, s_off
+
+    s_part = score_edges_3d(_edge_dict(cube_edges(0.5)[:4]), probe)
+    assert s_part["recall3d"] < 0.5 and s_part["precision3d"] > 0.99
+
+    phantom = np.array([[[-0.3, -0.25, 0.1], [0.35, 0.2, -0.15]]])
+    s_pad = score_edges_3d(
+        _edge_dict(np.concatenate([cube_edges(0.5), phantom])), probe
+    )
+    assert s_pad["precision3d"] < s_true["precision3d"] - 0.05
+    assert s_pad["recall3d"] > 0.99
+
+    s_empty = score_edges_3d(_edge_dict(np.zeros((0, 6))), probe)
+    assert s_empty["f3d"] == 0.0 and s_empty["n_pred"] == 0
+
+
+def test_build_probe_points_lies_on_zero_set():
+    """On the geometric-init field (zero set ~ the radius-0.5 sphere) the
+    probe must consist of points the field certifies as near-zero."""
+    import jax
+    import jax.numpy as jnp
+
+    from emap_tpu.extract.autothresh import build_probe_points
+    from emap_tpu.fields.udf import UDFConfig, udf_value
+    from emap_tpu.train.state import init_train_state
+
+    ucfg = UDFConfig(d_hidden=32, n_layers=2, skip_in=(1,), multires=2)
+    params = init_train_state(0, ucfg).params["udf"]
+    conf = 0.05
+    probe = build_probe_points(params, ucfg, resolution=24,
+                               loose_threshold=0.3, confidence=conf)
+    assert len(probe) > 0
+    vals = np.abs(np.asarray(
+        jax.jit(lambda p, x: udf_value(p, x, ucfg))(
+            params, jnp.asarray(probe)
+        )
+    ))
+    assert (vals <= conf + 1e-6).all()
+    # the filter actually bites: a looser certificate admits more points
+    loose = build_probe_points(params, ucfg, resolution=24,
+                               loose_threshold=0.3, confidence=0.3)
+    assert len(loose) > len(probe)
+    # and the probe stays inside the extraction domain
+    assert np.abs(probe).max() <= 1.0 + 1e-5
+
+
+def test_pick_candidate_rule():
+    from emap_tpu.extract.autothresh import pick_candidate
+
+    # f3d ranks; a mild f2d dip (>= 0.8 * max) must NOT veto the f3d winner
+    rows = [
+        {"f2d": 0.9999, "f3d": 0.470},
+        {"f2d": 0.9982, "f3d": 0.546},
+        {"f2d": 0.9452, "f3d": 0.561},  # the diag seed-3 shape
+    ]
+    assert pick_candidate(rows) == 2
+
+    # a cratered f2d (phantom structure) IS vetoed even with the top f3d
+    rows[2]["f2d"] = 0.40
+    assert pick_candidate(rows) == 1
+
+    # no probe (no f3d key): fall back to f2d argmax
+    assert pick_candidate([{"f2d": 0.3}, {"f2d": 0.9}]) == 1
+
+    # ties break toward the first (smaller threshold)
+    assert pick_candidate(
+        [{"f2d": 1.0, "f3d": 0.5}, {"f2d": 1.0, "f3d": 0.5}]
+    ) == 0
+
+    with pytest.raises(ValueError):
+        pick_candidate([])
+
+
+def test_selector_with_probe_ranks_by_f3d(cube_scene):
+    from emap_tpu.data.synthetic import sample_cube_edge_points
+    from emap_tpu.extract.autothresh import select_udf_threshold
+
+    probe = sample_cube_edge_points(0.5, spacing=0.005)
+    # both candidates reproject fine (2D saturates); only the 3D probe
+    # score separates the 8 mm-displaced wireframe from the true one
+    candidates = {
+        0.02: _edge_dict(cube_edges(0.5) + np.array([0.008, 0.008, 0.008])),
+        0.03: _edge_dict(cube_edges(0.5)),
+    }
+    thr, best, rows = select_udf_threshold(
+        lambda t: candidates[round(t, 2)],
+        [0.02, 0.03],
+        cube_scene,
+        "DexiNed",
+        probe_points=probe,
+    )
+    assert thr == 0.03 and best is candidates[0.03]
+    assert rows[1]["f3d"] > 0.9 and rows[0]["f3d"] < 0.2
+    assert all("f2d" in r for r in rows)
+
+
 def test_selector_picks_true_wireframe(cube_scene):
     candidates = {
         0.02: _edge_dict(cube_edges(0.5)[:4]),                 # holes
