@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Auto-threshold selector validation on the curve-only "rings" scene.
+
+Same question as scripts/validate_autothresh.py but on the Bezier path: do
+the probe pseudo-F ranking and the 2D gate transfer to curves? Reuses the
+parity A/B's four trained 8k-schedule rings checkpoints
+(precision_ab/field_default_rings_s{42,7,99,1234}, 64x4 net) and the parity
+protocol (res 96; the harness default threshold 0.03).
+
+Each seed runs in a subprocess because parity_reference reads its PARITY_*
+env at import. Writes parity_results/autothresh_rings.json.
+
+Env: ATR_SEEDS ("42 7 99 1234"), ATR_THRESHOLDS ("0.02 0.03 0.04 0.05").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+SEEDS = [int(s) for s in os.environ.get("ATR_SEEDS", "42 7 99 1234").split()]
+THRESHOLDS = os.environ.get("ATR_THRESHOLDS", "0.02 0.03 0.04 0.05")
+DEFAULT_THR = 0.03
+
+def run_seed(seed: int) -> dict:
+    out = os.path.join(REPO, "precision_ab", f"field_default_rings_s{seed}")
+    env = dict(
+        os.environ,
+        PARITY_OBJ="rings",
+        PARITY_OUT=out,
+        PARITY_STEPS="8000",
+        PARITY_BATCH="256",
+        PARITY_SEED=str(seed),
+        PARITY_FIELD_PREC="default",
+        ATR_THRESHOLDS=THRESHOLDS,
+    )
+    code = r"""
+import json, os, sys
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import parity_reference as pr
+from emap_tpu import config
+from emap_tpu.data.synthetic import sample_ring_edge_points
+from emap_tpu.eval.metrics import (
+    compute_precision_recall_iou, downsample_point_cloud_average,
+)
+from emap_tpu.extract.autothresh import (
+    build_probe_points, pick_candidate, score_edges_2d, score_edges_3d,
+)
+from emap_tpu.train.runner import Runner
+
+thresholds = [float(t) for t in os.environ["ATR_THRESHOLDS"].split()]
+conf = config.Config(pr.shared_conf_dict("ours"))
+conf["train.latest_model_name"] = "ckpt_best.npz"
+runner = Runner(conf, mode="extract_edge")
+runner.load_checkpoint()
+probe = build_probe_points(
+    runner.state.params["udf"], runner.ucfg, pr.RES, max(thresholds)
+)
+gt = sample_ring_edge_points(0.5, spacing=0.005)
+rows = []
+for thr in thresholds:
+    edge_dict = runner.extract_edge(
+        resolution=pr.RES, udf_threshold=thr, sampling_N=50,
+        sampling_delta=0.005, is_pointshift=True, iters=2,
+        is_linedirection=True, visible_checking=False,
+    )
+    from emap_tpu.eval.metrics import get_pred_points_and_directions
+    json_path = os.path.join(runner.base_exp_dir, "results",
+                             "parametric_edges.json")
+    curve_pts, line_pts, _, _ = get_pred_points_and_directions(json_path)
+    pred = np.concatenate([np.asarray(curve_pts).reshape(-1, 3),
+                           np.asarray(line_pts).reshape(-1, 3)])
+    pred = downsample_point_cloud_average(
+        pred.astype(np.float32), 256, [-1, -1, -1], [1, 1, 1])
+    m = {f"{n}_{t}": [] for n in ("precision", "recall", "fscore", "IOU")
+         for t in (0.005,)}
+    compute_precision_recall_iou(pred, gt, m, [0.005], "all")
+    f5 = m["fscore_0.005"][0]
+    s2d = score_edges_2d(edge_dict, runner.scene.data_dir,
+                         runner.scene.detector)
+    s3d = score_edges_3d(edge_dict, probe)
+    rows.append({"udf_threshold": thr, "f5_gt": round(float(f5), 4),
+                 **s2d, **s3d})
+    print("ROW " + json.dumps(rows[-1]), flush=True)
+pick = pick_candidate(rows)
+print("RESULT " + json.dumps({"rows": rows, "pick": pick,
+                              "n_probe": int(len(probe))}), flush=True)
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=5400,
+    )
+    result = None
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            result = json.loads(line[len("RESULT "):])
+        elif line.startswith("ROW "):
+            print(json.dumps({"seed": seed, **json.loads(line[4:])}),
+                  flush=True)
+    if result is None:
+        print(f"seed {seed} FAILED:\n{proc.stderr[-2000:]}", flush=True)
+        return {"seed": seed, "failed": True}
+    rows = result["rows"]
+    thr_list = [r["udf_threshold"] for r in rows]
+    f5 = [r["f5_gt"] for r in rows]
+    pick = result["pick"]
+    default_i = thr_list.index(DEFAULT_THR)
+    return {
+        "seed": seed,
+        "rows": rows,
+        "n_probe": result["n_probe"],
+        "picked_threshold": thr_list[pick],
+        "f5_picked": f5[pick],
+        "f5_default": f5[default_i],
+        "f5_oracle_best": max(f5),
+        "regret_vs_oracle": round(max(f5) - f5[pick], 4),
+    }
+
+
+def main() -> None:
+    import numpy as np
+
+    results = [run_seed(s) for s in SEEDS]
+    ok = [r for r in results if not r.get("failed")]
+    summary = {
+        "scene": "rings",
+        "results": results,
+        "mean_f5_default": round(
+            float(np.mean([r["f5_default"] for r in ok])), 4),
+        "mean_f5_picked": round(
+            float(np.mean([r["f5_picked"] for r in ok])), 4),
+        "mean_f5_oracle": round(
+            float(np.mean([r["f5_oracle_best"] for r in ok])), 4),
+    }
+    path = os.path.join(REPO, "parity_results", "autothresh_rings.json")
+    with open(path, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps({k: summary[k] for k in
+                      ("mean_f5_default", "mean_f5_picked",
+                       "mean_f5_oracle")}))
+
+
+if __name__ == "__main__":
+    main()
