@@ -653,7 +653,10 @@ class Runner:
                 list(auto_threshold),
                 self.scene.data_dir,
                 self.scene.detector,
-                probe_points=probe,
+                # a field with no certified zero set (e.g. barely trained)
+                # yields an empty probe; rank by the 2D score alone then
+                # instead of a degenerate all-zero f3d tie
+                probe_points=probe if len(probe) else None,
             )
             points, ld_colors, pred_points, edge_dict = cache[best_thr]
             with open(

@@ -251,6 +251,36 @@ def test_extract_edge_auto_threshold(runner_conf, tmp_path):
     )
 
 
+def test_extract_edge_auto_threshold_empty_probe(runner_conf, tmp_path,
+                                                 monkeypatch):
+    """A field with no certified zero set (empty probe) must fall back to
+    2D-only ranking instead of a degenerate all-zero f3d tie."""
+    import numpy as np
+
+    from emap_tpu.extract import autothresh
+    from emap_tpu.train.runner import Runner
+
+    conf = config.Config(json.loads(json.dumps(runner_conf.as_dict())))
+    conf["general"]["base_exp_dir"] = str(tmp_path / "exp_auto_noprobe")
+    runner = Runner(conf, mode="train")
+    runner.save_checkpoint(0.0)
+
+    monkeypatch.setattr(
+        autothresh, "build_probe_points",
+        lambda *a, **k: np.zeros((0, 3), np.float32),
+    )
+    runner.extract_edge(
+        resolution=16, udf_threshold=99.0, sampling_N=8, sampling_delta=0.01,
+        is_pointshift=True, iters=1, is_linedirection=True,
+        auto_threshold=[0.2, 0.3],
+    )
+    results = os.path.join(runner.base_exp_dir, "results")
+    with open(os.path.join(results, "threshold_selection.json")) as f:
+        sel = json.load(f)
+    assert sel["picked"] in (0.2, 0.3)
+    assert all("f3d" not in r for r in sel["candidates"])
+
+
 def test_pinned_model_precision_governs_train_field_tier(runner_conf):
     """An explicitly pinned model.udf_network.precision is the one-knob f32
     escape hatch: it must override the conf-default bf16 train-path
