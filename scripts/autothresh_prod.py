@@ -39,7 +39,12 @@ THRESHOLDS = [float(t) for t in
 
 def run_dir(out: str) -> dict | None:
     from emap_tpu import config
-    from emap_tpu.extract.autothresh import score_edges_2d
+    from emap_tpu.extract.autothresh import (
+        build_probe_points,
+        pick_candidate,
+        score_edges_2d,
+        score_edges_3d,
+    )
     from emap_tpu.train.runner import Runner
 
     conf_path = os.path.join(REPO, out, "ABC_standin.conf")
@@ -50,7 +55,15 @@ def run_dir(out: str) -> dict | None:
     conf = config.parse_file(conf_path)
     report = json.load(open(report_path))
     runner = Runner(conf, mode="extract_edge")
+    runner.load_checkpoint()
     ee = conf.get_config("edge_extraction")
+    probe = build_probe_points(
+        runner.state.params["udf"], runner.ucfg,
+        ee.get_int("resolution"), max(THRESHOLDS),
+        sampling_N=ee.get_int("sampling_N"),
+        sampling_delta=ee.get_float("sampling_delta"),
+    )
+    print(json.dumps({"dir": out, "n_probe": len(probe)}), flush=True)
 
     rows = []
     for thr in THRESHOLDS:
@@ -67,15 +80,16 @@ def run_dir(out: str) -> dict | None:
         gt = score_extraction(runner.base_exp_dir, edge_dict, "cube")
         s2d = score_edges_2d(edge_dict, runner.scene.data_dir,
                              runner.scene.detector)
+        s3d = score_edges_3d(edge_dict, probe)
         rows.append({"udf_threshold": thr, "f5_gt": gt["fscore_0.005"],
-                     "f10_gt": gt["fscore_0.01"], **s2d})
+                     "f10_gt": gt["fscore_0.01"], **s2d, **s3d})
         print(json.dumps({"dir": out, **rows[-1]}), flush=True)
 
     f5 = np.array([r["f5_gt"] for r in rows])
-    pick = int(np.argmax([r["f2d"] for r in rows]))
+    pick = pick_candidate(rows)  # THE shipped rule
     return {
         "dir": out,
-        "seed": report["seed"],
+        "seed": report.get("seed", 42),  # the r4 seed-42 report predates the key
         "f5_production_fixed": report["score"]["fscore_0.005"],
         "picked_threshold": THRESHOLDS[pick],
         "f5_picked": float(f5[pick]),
