@@ -38,6 +38,17 @@ import types
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# PARITY_PLATFORM=cpu pins our side's jax off the axon backend (the env var
+# alone is ignored once the sitecustomize registers axon; only a config
+# update before backend init works — CLAUDE.md). Needed when the TPU tunnel
+# is down; the protocol is platform-agnostic (extraction numerics re-roll
+# either way, see the BASELINE weak-seed/autothresh sections).
+_PLATFORM = os.environ.get("PARITY_PLATFORM", "")
+if _PLATFORM:
+    import jax
+
+    jax.config.update("jax_platforms", _PLATFORM)
+
 OUT = os.environ.get("PARITY_OUT", os.path.abspath("./parity_run"))
 STEPS = int(os.environ.get("PARITY_STEPS", "3000"))
 BATCH = int(os.environ.get("PARITY_BATCH", "256"))
