@@ -195,6 +195,10 @@ def main() -> dict:
     runner.save_checkpoint(0.0)  # force-save final weights for extraction
     runner.best_loss = 1.0
 
+    # E2E_AUTO_THRESH="0.02 0.03 0.04 0.05" switches on the GT-free
+    # threshold selector (extract/autothresh.py); empty (default) keeps the
+    # recorded fixed-threshold protocol.
+    auto = [float(t) for t in os.environ.get("E2E_AUTO_THRESH", "").split()]
     edge_dict = runner.extract_edge(
         resolution=res,
         udf_threshold=thresh,
@@ -204,6 +208,7 @@ def main() -> dict:
         iters=2,
         is_linedirection=True,
         visible_checking=False,
+        auto_threshold=auto,
     )
 
     result = {
@@ -211,6 +216,10 @@ def main() -> dict:
         "out_dir": out_dir,
         "steps": steps,
     }
+    if auto:
+        with open(os.path.join(runner.base_exp_dir, "results",
+                               "threshold_selection.json")) as f:
+            result["picked_threshold"] = json.load(f)["picked"]
     print(json.dumps(result))
     return result
 
