@@ -47,19 +47,27 @@ def run_dir(out: str) -> dict | None:
     )
     from emap_tpu.train.runner import Runner
 
-    conf_path = os.path.join(REPO, out, "ABC_standin.conf")
+    import glob as _glob
+
+    confs = _glob.glob(os.path.join(REPO, out, "*_standin.conf"))
     report_path = os.path.join(REPO, out, "report.json")
-    if not (os.path.isfile(conf_path) and os.path.isfile(report_path)):
+    if not (confs and os.path.isfile(report_path)):
         print(f"skip {out} (no conf/report)", flush=True)
         return None
-    conf = config.parse_file(conf_path)
+    conf = config.parse_file(confs[0])
     report = json.load(open(report_path))
     runner = Runner(conf, mode="extract_edge")
     runner.load_checkpoint()
     ee = conf.get_config("edge_extraction")
+    # AP_RES overrides the conf's extraction resolution (e.g. the DTU conf
+    # pins 256^3, ~80 min/extraction on the CPU fallback; the selector's
+    # ranking question is internally consistent at any single resolution —
+    # only f5_production_fixed, recorded at the conf resolution, stops
+    # being apples-to-apples)
+    res = int(os.environ.get("AP_RES", "0")) or ee.get_int("resolution")
     probe = build_probe_points(
         runner.state.params["udf"], runner.ucfg,
-        ee.get_int("resolution"), max(THRESHOLDS),
+        res, max(THRESHOLDS),
         sampling_N=ee.get_int("sampling_N"),
         sampling_delta=ee.get_float("sampling_delta"),
     )
@@ -68,7 +76,7 @@ def run_dir(out: str) -> dict | None:
     rows = []
     for thr in THRESHOLDS:
         edge_dict = runner.extract_edge(
-            resolution=ee.get_int("resolution"),
+            resolution=res,
             udf_threshold=thr,
             sampling_N=ee.get_int("sampling_N"),
             sampling_delta=ee.get_float("sampling_delta"),
@@ -110,8 +118,10 @@ def main() -> None:
         "std_f5_fixed": round(float(np.std(fixed)), 4),
         "std_f5_picked": round(float(np.std(picked)), 4),
     }
-    with open(os.path.join(REPO, "prod_suite", "autothresh_prod.json"),
-              "w") as f:
+    out_path = os.environ.get(
+        "AP_OUT", os.path.join(REPO, "prod_suite", "autothresh_prod.json")
+    )
+    with open(out_path, "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps({k: summary[k] for k in summary if k != "results"}))
 
