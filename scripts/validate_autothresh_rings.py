@@ -27,7 +27,15 @@ THRESHOLDS = os.environ.get("ATR_THRESHOLDS", "0.02 0.03 0.04 0.05")
 DEFAULT_THR = 0.03
 
 def run_seed(seed: int) -> dict:
-    out = os.path.join(REPO, "precision_ab", f"field_default_rings_s{seed}")
+    # the A/B-tier checkpoints for seeds {42,7,99,1234}; seed 3 was trained
+    # by the n=5 parity extension and lives under parity_run_rings_s3
+    # (control tier — quality-identical per the precision A/B)
+    candidates_dirs = [
+        os.path.join(REPO, "precision_ab", f"field_default_rings_s{seed}"),
+        os.path.join(REPO, f"parity_run_rings_s{seed}"),
+    ]
+    out = next((d for d in candidates_dirs if os.path.isdir(d)),
+               candidates_dirs[0])
     env = dict(
         os.environ,
         PARITY_OBJ="rings",
