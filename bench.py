@@ -60,15 +60,22 @@ def main() -> None:
     state = init_train_state(42, ucfg)
     step_fn = build_train_step(tcfg, rcfg, ucfg, scene.n_images)
 
-    # warmup + compile
-    state, metrics = step_fn(state, pool)
-    jax.block_until_ready(metrics["loss"])
+    # warmup + compile. NOTE: on the tunneled axon runtime,
+    # jax.block_until_ready can return before results are actually
+    # fetchable (see CLAUDE.md) -- timings MUST close with a real host
+    # fetch (np.asarray) or the loop measures dispatch, not execution.
+    import numpy as np
 
-    n_iters = int(os.environ.get("BENCH_ITERS", "50"))
+    state, metrics = step_fn(state, pool)
+    float(np.asarray(metrics["loss"]))
+
+    # 200 iters so the single closing scalar fetch (~0.1-0.3 s tunnel
+    # round-trip) is <2% of the ~2 s measured window.
+    n_iters = int(os.environ.get("BENCH_ITERS", "200"))
     t0 = time.perf_counter()
     for _ in range(n_iters):
         state, metrics = step_fn(state, pool)
-    jax.block_until_ready(metrics["loss"])
+    float(np.asarray(metrics["loss"]))
     dt = time.perf_counter() - t0
 
     rays_per_sec = batch * n_iters / dt
