@@ -333,7 +333,7 @@ _train_query.defvjp(_train_query_fwd, _train_query_bwd)
 
 
 def pallas_udf_train_value_and_gradient(
-    params, pts, cfg: UDFConfig, tile_fwd: int = 1024, tile_bwd: int = 256,
+    params, pts, cfg: UDFConfig, tile_fwd: int = 1024, tile_bwd: int = 512,
     interpret: bool | None = None,
 ):
     """Training-path fused value + spatial gradient; pts (N, 3) ->
@@ -351,6 +351,16 @@ def pallas_udf_train_value_and_gradient(
     and are differentiated by JAX automatically. The backward kernel keeps
     ~3x the forward's per-tile state in VMEM (layer inputs, sigmoids, the
     gradient chain's r/carry buffers), hence the smaller default tile.
+
+    Tile defaults (1024, 512): at the production bf16 field tier
+    (precision="default") the fwd+bwd chain at the 116,736-pt step shape
+    measures 8.69 ms with tile_bwd=512 vs 9.78 ms at 256 (+11%; larger
+    tiles amortize inter-pass latency of the serial layer chain, which
+    dominates once each bf16 pass is 3x shorter than at "high"). At the
+    "high" tier the sweep is flat within noise (r4: 28.0/28.9/27.3 ms for
+    256/512/1024), so 512 is safe for both; weight grads agree across
+    tiles to 2.1e-7 rel. Requires the raised scoped-VMEM ceiling
+    (CompilerParams above) -- 512 VMEM-OOMs under Mosaic's 16M default.
     """
     if interpret is None:
         interpret = not pallas_available()
