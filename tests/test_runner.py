@@ -251,6 +251,41 @@ def test_extract_edge_auto_threshold(runner_conf, tmp_path):
     )
 
 
+def test_extract_edge_auto_threshold_half_trained(runner_conf, tmp_path):
+    """Adversarial selector stress (VERDICT r2 item 5): a half-trained field
+    (10 steps — far from converged, zero set still sphere-dominated) must
+    flow through the full selector path end-to-end: every candidate
+    extracted and scored, the table written, and the picked candidate's
+    artifacts kept. This is the CLI reality the conf-default flip exposes."""
+    from emap_tpu.train.runner import Runner
+
+    conf = config.Config(json.loads(json.dumps(runner_conf.as_dict())))
+    conf["general"]["base_exp_dir"] = str(tmp_path / "exp_auto_half")
+    runner = Runner(conf, mode="train")
+    runner.train()  # end_iter = 10
+    runner.best_loss = 1.0
+    runner.save_checkpoint(0.0)
+
+    candidates = [0.1, 0.2, 0.3]
+    edge_dict = runner.extract_edge(
+        resolution=16, udf_threshold=99.0, sampling_N=8, sampling_delta=0.01,
+        is_pointshift=True, iters=1, is_linedirection=True,
+        visible_checking=False, auto_threshold=candidates,
+    )
+    results = os.path.join(runner.base_exp_dir, "results")
+    with open(os.path.join(results, "threshold_selection.json")) as f:
+        sel = json.load(f)
+    assert sel["picked"] in candidates
+    assert [r["udf_threshold"] for r in sel["candidates"]] == candidates
+    picked_row = next(
+        r for r in sel["candidates"] if r["udf_threshold"] == sel["picked"]
+    )
+    assert (
+        len(edge_dict["curves_ctl_pts"]) == picked_row["n_curves"]
+        and len(edge_dict["lines_end_pts"]) == picked_row["n_lines"]
+    )
+
+
 def test_extract_edge_auto_threshold_empty_probe(runner_conf, tmp_path,
                                                  monkeypatch):
     """A field with no certified zero set (empty probe) must fall back to
