@@ -333,8 +333,8 @@ _train_query.defvjp(_train_query_fwd, _train_query_bwd)
 
 
 def pallas_udf_train_value_and_gradient(
-    params, pts, cfg: UDFConfig, tile_fwd: int = 1024, tile_bwd: int = 512,
-    interpret: bool | None = None,
+    params, pts, cfg: UDFConfig, tile_fwd: int = 1024,
+    tile_bwd: int | None = None, interpret: bool | None = None,
 ):
     """Training-path fused value + spatial gradient; pts (N, 3) ->
     ((N,), (N, 3)), differentiable w.r.t. `params` (second order: the outer
@@ -352,7 +352,8 @@ def pallas_udf_train_value_and_gradient(
     ~3x the forward's per-tile state in VMEM (layer inputs, sigmoids, the
     gradient chain's r/carry buffers), hence the smaller default tile.
 
-    Tile defaults (1024, 512): at the production bf16 field tier
+    Tile defaults (1024, min(512, tile_fwd)): at the production bf16 field
+    tier
     (precision="default") the fwd+bwd chain at the 116,736-pt step shape
     measures 8.69 ms with tile_bwd=512 vs 9.78 ms at 256 (+11%; larger
     tiles amortize inter-pass latency of the serial layer chain, which
@@ -364,6 +365,10 @@ def pallas_udf_train_value_and_gradient(
     """
     if interpret is None:
         interpret = not pallas_available()
+    if tile_bwd is None:
+        # default 512 (bf16-tier sweep winner), clamped so small explicit
+        # tile_fwd values (e.g. 256) stay valid without also passing tile_bwd
+        tile_bwd = min(512, tile_fwd)
     if tile_fwd % tile_bwd:
         raise ValueError("tile_bwd must divide tile_fwd (shared padding)")
     tile = max(tile_fwd, tile_bwd)
