@@ -71,6 +71,16 @@ class UDFConfig:
     # tolerance differs from primal tolerance, so this can be dropped to
     # "default" (1-pass bf16) independently if measurement supports it.
     bwd_precision: str = ""
+    # Fold the PE encode + its Jacobian INTO the fused train kernels
+    # (kernels/mlp_train.py): the HBM streams shrink from d0_pad rows to 8
+    # raw-point rows each way and the step's XLA-side PE fusions disappear.
+    # Bit-compatible with the host path up to f32 sin/cos rounding.
+    fuse_pe: bool = False
+    # Carve each backward tile into this many independent sub-chains so the
+    # Mosaic scheduler can overlap one sub-chain's early dots with
+    # another's deeper layers (the serial-layer-chain latency experiment,
+    # VERDICT r2 item 4). 1 = off.
+    chain_split: int = 1
 
     @classmethod
     def from_conf(cls, conf) -> "UDFConfig":
@@ -78,6 +88,8 @@ class UDFConfig:
             precision=conf.get_string("precision", "high"),
             bwd_precision=conf.get_string("bwd_precision", ""),
             pallas_train=conf.get_string("pallas_train", "auto"),
+            fuse_pe=conf.get_bool("fuse_pe", False),
+            chain_split=conf.get_int("chain_split", 1),
             d_in=conf.get_int("d_in", 3),
             d_out=conf.get_int("d_out", 1),
             d_hidden=conf.get_int("d_hidden", 256),

@@ -64,19 +64,47 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def fold_weights(params, cfg: UDFConfig):
+def _pe_perm(cfg: UDFConfig) -> np.ndarray:
+    """Column permutation mapping the embedder's interleaved PE layout
+    [x, sin(f0 x), cos(f0 x), sin(f1 x), ...] to the kernel-friendly
+    blocked layout [x, sin(F x), cos(F x)] used by the fused-PE kernels
+    (three big contiguous blocks instead of 2*multires 3-row slivers)."""
+    d, m = cfg.d_in, cfg.multires
+    sin_cols, cos_cols = [], []
+    for k in range(m):
+        base = d + 2 * d * k
+        sin_cols += list(range(base, base + d))
+        cos_cols += list(range(base + d, base + 2 * d))
+    return np.array(list(range(d)) + sin_cols + cos_cols)
+
+
+def fold_weights(params, cfg: UDFConfig, fuse_pe: bool = False):
     """Fold weight-norm (g, v) -> w; returns [(w (out,in), b (out,1)), ...].
 
     lin0's input dim is zero-padded up to a sublane multiple so the kernel's
     encoded-input block can be padded to match (zero rows x zero cols = 0).
+
+    fuse_pe permutes the encoded-input columns (lin0 and the x-block of
+    every skip layer) to the blocked PE layout the in-kernel encode
+    produces (_pe_perm); the permutation is a gather on folded weights,
+    transposed to a scatter by JAX automatically, so parameter gradients
+    stay exact.
     """
     layers = []
     n_linear = len(cfg.dims) - 1
     d0 = cfg.dims[0]
     d0_pad = _round_up(d0, 8)
+    perm = _pe_perm(cfg) if fuse_pe else None
     for l in range(n_linear):
         layer = params[f"lin{l}"]
         w = _effective_weight(layer).astype(jnp.float32)
+        if perm is not None:
+            if l == 0:
+                w = w[:, perm]
+            elif l in cfg.skip_in:
+                w = jnp.concatenate(
+                    [w[:, :-d0], w[:, -d0:][:, perm]], axis=1
+                )
         if l == 0 and d0_pad != d0:
             w = jnp.pad(w, ((0, 0), (0, d0_pad - d0)))
         b = layer["b"].astype(jnp.float32)[:, None]
@@ -93,7 +121,7 @@ def _layer_dims(cfg: UDFConfig):
     return dims
 
 
-def pack_weights(params, cfg: UDFConfig):
+def pack_weights(params, cfg: UDFConfig, fuse_pe: bool = False):
     """Pack all layers into TWO buffers so the kernel has 3 input DMAs per
     grid step instead of 19 (the round-1 kernel's dominant overhead:
     ~2 us DMA-issue latency x 19 buffers x hundreds of grid steps).
@@ -101,7 +129,7 @@ def pack_weights(params, cfg: UDFConfig):
     W_pack: (row_max, sum_in) with layer l's (out_l, in_l) block at column
     offset off_l, zero-padded rows above out_l. B_pack: (row_max, n_linear).
     """
-    layers = fold_weights(params, cfg)
+    layers = fold_weights(params, cfg, fuse_pe)
     dims = _layer_dims(cfg)
     row_max = max(o for _, o in dims)
     blocks, biases = [], []
@@ -141,6 +169,74 @@ def _pe_jacobian_host(pts, g_inputs_T, cfg: UDFConfig) -> jnp.ndarray:
             uf = u * f
             du = du + f * (jnp.cos(uf) * s_part - jnp.sin(uf) * c_part)
     return du * cfg.scale
+
+
+def _encode_fused(p, cfg: UDFConfig):
+    """In-kernel PE encode: p (8, T) raw feature-major points (3 live rows)
+    -> (x (d0_pad, T) in the BLOCKED layout [u, sin(F u), cos(F u)], and
+    uf (3*multires, T) reused by the Jacobian helpers).
+
+    Feature-major keeps every transcendental at full 128-lane width; the
+    blocked layout (see _pe_perm) makes the encode three big concats
+    instead of 2*multires 3-row slivers.
+    """
+    u = p[: cfg.d_in, :] * np.float32(cfg.scale)
+    uf = jnp.concatenate(
+        [u * np.float32(f) for f in _pe_freqs(cfg)], axis=0
+    )
+    x = jnp.concatenate([u, jnp.sin(uf), jnp.cos(uf)], axis=0)
+    d0 = cfg.dims[0]
+    d0_pad = _round_up(d0, 8)
+    if d0_pad != d0:
+        x = jnp.concatenate(
+            [x, jnp.zeros((d0_pad - d0, x.shape[1]), x.dtype)], axis=0
+        )
+    return x, uf
+
+
+def _pe_jac_fused(uf, g, cfg: UDFConfig):
+    """du = (dPE/dx)^T g, blocked layout: g (d0_pad, T) encoded-space
+    spatial gradient -> (8, T) with the first d_in rows live.
+
+    Per-frequency scalar multiplies (no captured constant arrays — Pallas
+    kernels must not close over non-scalar constants).
+    """
+    d, m = cfg.d_in, cfg.multires
+    cos_uf, sin_uf = jnp.cos(uf), jnp.sin(uf)
+    du = g[:d, :]
+    for k, f in enumerate(_pe_freqs(cfg)):
+        sl = slice(d * k, d * (k + 1))
+        gs = g[d + d * k : d + d * (k + 1), :]
+        gc = g[d + d * m + d * k : d + d * m + d * (k + 1), :]
+        du = du + np.float32(f) * (cos_uf[sl] * gs - sin_uf[sl] * gc)
+    du = du * np.float32(cfg.scale)
+    return jnp.concatenate(
+        [du, jnp.zeros((8 - d, du.shape[1]), du.dtype)], axis=0
+    )
+
+
+def _pe_jacT_fused(uf, t8, cfg: UDFConfig):
+    """Transpose of _pe_jac_fused: spatial cotangent t8 (8, T; first d_in
+    rows live) -> encoded-space cotangent (d0_pad, T), blocked layout."""
+    d, m = cfg.d_in, cfg.multires
+    t = t8[:d, :] * np.float32(cfg.scale)
+    cos_uf, sin_uf = jnp.cos(uf), jnp.sin(uf)
+    sin_rows = [
+        np.float32(f) * cos_uf[d * k : d * (k + 1), :] * t
+        for k, f in enumerate(_pe_freqs(cfg))
+    ]
+    cos_rows = [
+        -np.float32(f) * sin_uf[d * k : d * (k + 1), :] * t
+        for k, f in enumerate(_pe_freqs(cfg))
+    ]
+    out = jnp.concatenate([t] + sin_rows + cos_rows, axis=0)
+    d0 = cfg.dims[0]
+    d0_pad = _round_up(d0, 8)
+    if d0_pad != d0:
+        out = jnp.concatenate(
+            [out, jnp.zeros((d0_pad - d0, out.shape[1]), out.dtype)], axis=0
+        )
+    return out
 
 
 def _kernel_dot(a, b, precision: str, dimension_numbers=None):
@@ -256,17 +352,20 @@ def _pallas_value(x_T, w_pack, b_pack, cfg: UDFConfig, tile: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cfg", "tile", "interpret", "f32_residuals"))
+    "cfg", "tile", "interpret", "f32_residuals", "fuse_pe"))
 def _pallas_value_and_grad(x_T, w_pack, b_pack, cfg: UDFConfig, tile: int,
-                           interpret: bool, f32_residuals: bool = False):
+                           interpret: bool, f32_residuals: bool = False,
+                           fuse_pe: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    d0_pad, n = x_T.shape
+    in_rows, n = x_T.shape  # (8, n) raw points when fuse_pe, else (d0_pad, n)
     d0 = cfg.dims[0]
+    d0_pad = _round_up(d0, 8)
     dims = _layer_dims(cfg)
     row_max = max(o for _, o in dims)
     offs = np.concatenate([[0], np.cumsum([i for i, _ in dims])])
+    g_rows = 8 if fuse_pe else d0_pad  # spatial-gradient output rows
 
     def pad_rows(a, rows):
         if a.shape[0] == rows:
@@ -276,7 +375,13 @@ def _pallas_value_and_grad(x_T, w_pack, b_pack, cfg: UDFConfig, tile: int,
         )
 
     def kernel(x_ref, w_ref, b_ref, udf_ref, gin_ref):
-        x = x_ref[...]
+        if fuse_pe:
+            # in-kernel PE: one HBM read of 8 raw rows instead of d0_pad
+            # encoded rows, and the blocked-layout weights (pack_weights
+            # fuse_pe) see the matching encode
+            x, uf = _encode_fused(x_ref[...], cfg)
+        else:
+            x = x_ref[...]
         y, sigmoids = _kernel_forward(x, w_ref, b_ref, cfg, True,
                                       f32_residuals)
         udf, dy = _head(y[:1, :], cfg.udf_type)
@@ -304,24 +409,30 @@ def _pallas_value_and_grad(x_T, w_pack, b_pack, cfg: UDFConfig, tile: int,
                 g_inputs = g_inputs + g  # lin0 input IS the padded encoding
                 continue
             g = g * sigmoids[l - 1].astype(jnp.float32)
-        gin_ref[...] = g_inputs
+        if fuse_pe:
+            # apply the PE Jacobian in-kernel: 8 output rows instead of
+            # d0_pad, and no XLA-side jacobian fusion or HBM round-trip
+            gin_ref[...] = _pe_jac_fused(uf, g_inputs, cfg)
+        else:
+            gin_ref[...] = g_inputs
 
     in_specs = [
-        pl.BlockSpec((d0_pad, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((in_rows, tile), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
     out_specs = (
         pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec(
-            (d0_pad, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            (g_rows, tile), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
     )
     udf, g_inputs = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((1, n), jnp.float32),
-            jax.ShapeDtypeStruct((d0_pad, n), jnp.float32),
+            jax.ShapeDtypeStruct((g_rows, n), jnp.float32),
         ),
         grid=(n // tile,),
         in_specs=in_specs,

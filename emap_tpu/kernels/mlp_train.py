@@ -57,11 +57,13 @@ import numpy as np
 
 from emap_tpu.fields.udf import UDFConfig
 from emap_tpu.kernels.mlp_query import (
+    _encode_fused,
     _encode_host,
     _kernel_dot,
     _layer_dims,
     _pad_pts,
     _pallas_value_and_grad,
+    _pe_jacT_fused,
     _pe_jacobian_host,
     pack_weights,
     pallas_available,
@@ -236,22 +238,47 @@ def _train_bwd_math(x, w_ref, b_ref, ubar, gbar, cfg: UDFConfig):
     return wbar, bbar
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "tile", "interpret", "fuse_pe", "chain_split"))
 def _pallas_train_bwd(x_T, w_pack, b_pack, ubar, gbar, cfg: UDFConfig,
-                      tile: int, interpret: bool):
+                      tile: int, interpret: bool, fuse_pe: bool = False,
+                      chain_split: int = 1):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    d0_pad, n = x_T.shape
+    in_rows, n = x_T.shape  # (8, n) raw points when fuse_pe, else (d0_pad, n)
     dims = _layer_dims(cfg)
     row_max = max(o for _, o in dims)
     sum_in = sum(i for i, _ in dims)
     L = len(dims)
+    gb_rows = 8 if fuse_pe else in_rows
+
+    def _tile_math(x_blk, w_ref, b_ref, ub_blk, gb_blk):
+        if fuse_pe:
+            x_blk, uf = _encode_fused(x_blk, cfg)
+            gb_blk = _pe_jacT_fused(uf, gb_blk, cfg)
+        return _train_bwd_math(x_blk, w_ref, b_ref, ub_blk, gb_blk, cfg)
 
     def kernel(x_ref, w_ref, b_ref, ub_ref, gb_ref, wbar_ref, bbar_ref):
-        wbar, bbar = _train_bwd_math(
-            x_ref[...], w_ref, b_ref, ub_ref[...], gb_ref[...], cfg
-        )
+        if chain_split == 1:
+            wbar, bbar = _tile_math(
+                x_ref[...], w_ref, b_ref, ub_ref[...], gb_ref[...]
+            )
+        else:
+            # cross-pass pipelining experiment: carve the tile into
+            # chain_split independent sub-chains so the scheduler can
+            # overlap sub-chain k+1's early dots with sub-chain k's deeper
+            # layers (the serial 8-layer chain's inter-pass latency is the
+            # measured residual vs the matmul-only floor, BASELINE.md)
+            sub = tile // chain_split
+            wbar = bbar = None
+            for k in range(chain_split):
+                sl = slice(k * sub, (k + 1) * sub)
+                w_k, b_k = _tile_math(
+                    x_ref[:, sl], w_ref, b_ref, ub_ref[:, sl], gb_ref[:, sl]
+                )
+                wbar = w_k if wbar is None else wbar + w_k
+                bbar = b_k if bbar is None else bbar + b_k
 
         @pl.when(pl.program_id(0) == 0)
         def _init():
@@ -262,12 +289,12 @@ def _pallas_train_bwd(x_T, w_pack, b_pack, ubar, gbar, cfg: UDFConfig,
         bbar_ref[...] += bbar
 
     in_specs = [
-        pl.BlockSpec((d0_pad, tile), lambda i: (0, i),
+        pl.BlockSpec((in_rows, tile), lambda i: (0, i),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((d0_pad, tile), lambda i: (0, i),
+        pl.BlockSpec((gb_rows, tile), lambda i: (0, i),
                      memory_space=pltpu.VMEM),
     ]
     out_specs = (
@@ -298,33 +325,39 @@ def _pallas_train_bwd(x_T, w_pack, b_pack, ubar, gbar, cfg: UDFConfig,
     return wbar, bbar
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def _train_query(x_T, w_pack, b_pack, cfg: UDFConfig, tile_fwd: int,
-                 tile_bwd: int, interpret: bool):
-    """(x_T, packed weights) -> (udf (N,), g_inputs (d0_pad, N)).
+                 tile_bwd: int, interpret: bool, fuse_pe: bool = False,
+                 chain_split: int = 1):
+    """(x_T, packed weights) -> (udf (N,), g_inputs (d0_pad, N)); with
+    fuse_pe, x_T is the RAW points (8, N) and the second output is the
+    spatial gradient du (8, N) (PE encode + Jacobian run in-kernel).
 
     Differentiable w.r.t. w_pack/b_pack only (x cotangent is zeros —
     query points are stop-gradient in render_core).
     """
     return _pallas_value_and_grad(x_T, w_pack, b_pack, cfg, tile_fwd,
-                                  interpret, f32_residuals=True)
+                                  interpret, f32_residuals=True,
+                                  fuse_pe=fuse_pe)
 
 
 def _train_query_fwd(x_T, w_pack, b_pack, cfg, tile_fwd, tile_bwd,
-                     interpret):
+                     interpret, fuse_pe, chain_split):
     out = _pallas_value_and_grad(x_T, w_pack, b_pack, cfg, tile_fwd,
-                                 interpret, f32_residuals=True)
+                                 interpret, f32_residuals=True,
+                                 fuse_pe=fuse_pe)
     return out, (x_T, w_pack, b_pack)
 
 
-def _train_query_bwd(cfg, tile_fwd, tile_bwd, interpret, res, cots):
+def _train_query_bwd(cfg, tile_fwd, tile_bwd, interpret, fuse_pe,
+                     chain_split, res, cots):
     x_T, w_pack, b_pack = res
     ubar, gbar = cots
     wbar, bbar = _pallas_train_bwd(
         x_T, w_pack, b_pack,
         jnp.asarray(ubar, jnp.float32)[None, :],
         jnp.asarray(gbar, jnp.float32),
-        cfg, tile_bwd, interpret,
+        cfg, tile_bwd, interpret, fuse_pe=fuse_pe, chain_split=chain_split,
     )
     return jnp.zeros_like(x_T), wbar, bbar
 
@@ -335,6 +368,7 @@ _train_query.defvjp(_train_query_fwd, _train_query_bwd)
 def pallas_udf_train_value_and_gradient(
     params, pts, cfg: UDFConfig, tile_fwd: int = 1024,
     tile_bwd: int | None = None, interpret: bool | None = None,
+    fuse_pe: bool | None = None, chain_split: int | None = None,
 ):
     """Training-path fused value + spatial gradient; pts (N, 3) ->
     ((N,), (N, 3)), differentiable w.r.t. `params` (second order: the outer
@@ -371,13 +405,34 @@ def pallas_udf_train_value_and_gradient(
         tile_bwd = min(512, tile_fwd)
     if tile_fwd % tile_bwd:
         raise ValueError("tile_bwd must divide tile_fwd (shared padding)")
+    if fuse_pe is None:
+        fuse_pe = cfg.fuse_pe
+    fuse_pe = fuse_pe and cfg.multires > 0 and cfg.d_in == 3
+    if chain_split is None:
+        chain_split = cfg.chain_split
+    if tile_bwd % (chain_split * 128):
+        raise ValueError(
+            "chain_split must divide tile_bwd into 128-lane multiples"
+        )
     tile = max(tile_fwd, tile_bwd)
     pts = jax.lax.stop_gradient(pts)
-    w_pack, b_pack = pack_weights(params, cfg)
+    w_pack, b_pack = pack_weights(params, cfg, fuse_pe=fuse_pe)
     padded, n = _pad_pts(jnp.asarray(pts, jnp.float32), tile)
+    if fuse_pe:
+        # raw feature-major points, 3 live rows zero-padded to the 8-row
+        # sublane minimum; the kernels encode + apply the PE Jacobian
+        # in-VMEM (one 8-row HBM stream each way instead of d0_pad rows,
+        # and no XLA-side PE fusions in the step's tail)
+        x_T = jnp.pad((padded * 1.0).T, ((0, 8 - padded.shape[1]), (0, 0)))
+        udf, du8 = _train_query(
+            x_T, w_pack, b_pack, cfg, tile_fwd, tile_bwd, interpret,
+            True, chain_split,
+        )
+        return udf[:n], du8[:3, :n].T
     x_T = _encode_host(padded, cfg)
     udf, g_inputs = _train_query(
-        x_T, w_pack, b_pack, cfg, tile_fwd, tile_bwd, interpret
+        x_T, w_pack, b_pack, cfg, tile_fwd, tile_bwd, interpret,
+        False, chain_split,
     )
     grad = _pe_jacobian_host(padded, g_inputs, cfg)
     return udf[:n], grad[:n]

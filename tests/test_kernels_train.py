@@ -20,7 +20,7 @@ from emap_tpu.fields.udf import (
 from emap_tpu.kernels.mlp_train import pallas_udf_train_value_and_gradient
 
 
-def _loss_pair(cfg, N=192, seed=1):
+def _loss_pair(cfg, N=192, seed=1, tile=128):
     """(loss_fn_xla, loss_fn_kernel, params): eikonal-style second-order
     loss through value+gradient."""
     params = init_udf_params(jax.random.key(0), cfg)
@@ -40,7 +40,7 @@ def _loss_pair(cfg, N=192, seed=1):
         return loss
 
     ker = lambda p, x, c: pallas_udf_train_value_and_gradient(
-        p, x, c, tile_fwd=128, tile_bwd=128, interpret=True
+        p, x, c, tile_fwd=tile, tile_bwd=tile, interpret=True
     )
     return mk(udf_value_and_gradient), mk(ker), params
 
@@ -89,6 +89,23 @@ class TestTrainKernelGrads:
         l_xla, l_ker, params = _loss_pair(cfg, N=96)
         _, g_x = jax.jit(jax.value_and_grad(l_xla))(params)
         _, g_k = jax.jit(jax.value_and_grad(l_ker))(params)
+        assert _max_rel_err(g_k, g_x) < 3e-4
+
+    @pytest.mark.parametrize("fuse_pe,chain_split",
+                             [(True, 1), (False, 2), (True, 2)])
+    def test_fuse_pe_and_chain_split_match_autodiff(self, fuse_pe,
+                                                    chain_split):
+        """The in-kernel PE encode/Jacobian (blocked layout + permuted
+        weight columns) and the chain_split pipelining carve-up reproduce
+        the pure-JAX second-order grads to f32 roundoff — both knobs are
+        pure scheduling/layout changes, not approximations."""
+        cfg = UDFConfig(d_hidden=64, n_layers=8, multires=6,
+                        precision="highest", fuse_pe=fuse_pe,
+                        chain_split=chain_split)
+        l_xla, l_ker, params = _loss_pair(cfg, N=256, tile=256)
+        v_x, g_x = jax.jit(jax.value_and_grad(l_xla))(params)
+        v_k, g_k = jax.jit(jax.value_and_grad(l_ker))(params)
+        assert float(jnp.abs(v_x - v_k)) < 1e-4 * (1 + abs(float(v_x)))
         assert _max_rel_err(g_k, g_x) < 3e-4
 
 
