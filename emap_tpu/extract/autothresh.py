@@ -181,14 +181,50 @@ def build_probe_points(
         return xyz
 
     fn = jax.jit(lambda p, x: jnp.abs(udf_value(p, x, ucfg)))
-    chunk = 1 << 18
+    # 65536 is the shape the whole production extraction path runs at; the
+    # tunneled v5e backend returns all-NaN from this SAME jitted udf_value
+    # at 262144 rows (reproduced twice on the rings-50k s42 checkpoint,
+    # r5 — a backend/XLA artifact, not a field property: the identical
+    # points evaluate finite in 65536-row chunks, and 65536-row eval
+    # matches CPU). Keep every batched XLA field eval at <= 1<<16 rows.
+    chunk = 1 << 16
     pad = (-len(xyz)) % chunk
     padded = np.concatenate([xyz, np.zeros((pad, 3), np.float32)])
     vals = np.concatenate([
         np.asarray(fn(params, jnp.asarray(padded[i:i + chunk])))
         for i in range(0, len(padded), chunk)
     ])[: len(xyz)]
+    return _certify_probe(xyz, vals, confidence, loose_threshold,
+                          max_points, seed)
+
+
+def _certify_probe(xyz, vals, confidence, loose_threshold, max_points=200_000,
+                   seed=42):
+    """Keep the shifted points the field itself certifies as on-zero-set.
+
+    Adaptive certification: different training regimes carve the zero set
+    to different depths — the 50k rings fields bottom out at |udf| ~5-10e-3
+    (q25 0.0063/0.0065 on seeds 42/3), so a fixed 2e-3 bar (tuned on cube
+    fields that reach ~1e-3) returns an EMPTY probe and the selector
+    degrades to the saturated, non-discriminating 2D score (measured
+    rings-50k regression: picked mean F@5mm 0.352 vs 0.456 fixed / 0.490
+    oracle, e2e_rings50k/autothresh_validation.json). When the strict bar
+    certifies almost nothing, certify the field's own best quartile
+    instead, capped at loose_threshold/4 so a field with no zero set at
+    all still yields an empty probe. (Phantom protection never rested on
+    emptiness: an untrained geometric-init field certifies 71% of its
+    sphere at 2e-3; the f2d veto in pick_candidate is what kills phantom
+    structure.)"""
+    # TPU-side pointshift can emit a handful of non-finite rows (the
+    # normals' 0/0 at exactly-zero gradients re-rolls per platform); they
+    # must not poison the percentile below or the score_edges_3d KD-tree
+    finite = np.isfinite(vals) & np.isfinite(xyz).all(axis=1)
+    xyz, vals = xyz[finite], vals[finite]
     probe = xyz[vals <= confidence]
+    if len(probe) < 64 and len(vals):
+        q25 = float(np.percentile(vals, 25.0))
+        if q25 <= loose_threshold / 4.0:
+            probe = xyz[vals <= q25]
     if len(probe) > max_points:
         rng = np.random.default_rng(seed)
         probe = probe[rng.choice(len(probe), max_points, replace=False)]
@@ -233,6 +269,7 @@ def select_udf_threshold(
     match_px: float = 3.0,
     probe_points: np.ndarray | None = None,
     veto_frac: float = 0.8,
+    default_thr: float | None = None,
 ) -> tuple[float, dict, list[dict]]:
     """Run `extract_at(thr)` for every candidate, score each, and return
     (best_thr, best_edge_dict, rows) where rows is the per-candidate score
@@ -256,11 +293,12 @@ def select_udf_threshold(
             **score,
         })
         dicts.append(edge_dict)
-    best = pick_candidate(rows, veto_frac)
+    best = pick_candidate(rows, veto_frac, default_thr=default_thr)
     return float(candidates[best]), dicts[best], rows
 
 
-def pick_candidate(rows: list, veto_frac: float = 0.8) -> int:
+def pick_candidate(rows: list, veto_frac: float = 0.8,
+                   default_thr: float | None = None) -> int:
     """THE selection rule (one place; the validation driver imports it).
 
     Rank by f3d — the probe pseudo-F at the eval protocol's own 5 mm radius,
@@ -276,8 +314,23 @@ def pick_candidate(rows: list, veto_frac: float = 0.8) -> int:
     if not rows:
         raise ValueError("pick_candidate needs at least one row")
     if "f3d" not in rows[0]:
-        return int(np.argmax([r["f2d"] for r in rows]))
+        f2d = [r["f2d"] for r in rows]
+        # No 3D probe AND the 2D score is saturated (spread below noise):
+        # there is NO ranking signal, so argmax would move the threshold
+        # on noise — measured to cost −0.10 mean F@5mm on the rings-50k
+        # suite, where every candidate reprojects onto every edge pixel
+        # (f2d spreads 0.0006-0.0058). Keep the conf's own threshold.
+        if default_thr is not None and max(f2d) - min(f2d) < 0.01:
+            return int(np.argmin([abs(r["udf_threshold"] - default_thr)
+                                  for r in rows]))
+        return int(np.argmax(f2d))
     f2d_max = max(r["f2d"] for r in rows)
     eligible = [i for i, r in enumerate(rows)
                 if r["f2d"] >= veto_frac * f2d_max]
+    f3d_vals = [rows[i]["f3d"] for i in eligible]
+    if default_thr is not None and max(f3d_vals) - min(f3d_vals) < 1e-9:
+        # degenerate probe scoring (e.g. every candidate misses a tiny
+        # probe): no signal here either — anchor to the conf threshold
+        return min(eligible,
+                   key=lambda i: abs(rows[i]["udf_threshold"] - default_thr))
     return max(eligible, key=lambda i: (rows[i]["f3d"], -i))

@@ -81,6 +81,12 @@ class UDFConfig:
     # another's deeper layers (the serial-layer-chain latency experiment,
     # VERDICT r2 item 4). 1 = off.
     chain_split: int = 1
+    # Pallas train-kernel point-tile sizes; 0 = auto (1024 fwd,
+    # min(512, tile_fwd) bwd — or 1024 bwd under fuse_pe, where the
+    # (fuse_pe, tile_bwd=1024) pair measured fastest; see the kernel
+    # docstring's sweep numbers). Conf-settable for per-shape retuning.
+    tile_fwd: int = 0
+    tile_bwd: int = 0
 
     @classmethod
     def from_conf(cls, conf) -> "UDFConfig":
@@ -90,6 +96,8 @@ class UDFConfig:
             pallas_train=conf.get_string("pallas_train", "auto"),
             fuse_pe=conf.get_bool("fuse_pe", False),
             chain_split=conf.get_int("chain_split", 1),
+            tile_fwd=conf.get_int("tile_fwd", 0),
+            tile_bwd=conf.get_int("tile_bwd", 0),
             d_in=conf.get_int("d_in", 3),
             d_out=conf.get_int("d_out", 1),
             d_hidden=conf.get_int("d_hidden", 256),

@@ -366,7 +366,7 @@ _train_query.defvjp(_train_query_fwd, _train_query_bwd)
 
 
 def pallas_udf_train_value_and_gradient(
-    params, pts, cfg: UDFConfig, tile_fwd: int = 1024,
+    params, pts, cfg: UDFConfig, tile_fwd: int | None = None,
     tile_bwd: int | None = None, interpret: bool | None = None,
     fuse_pe: bool | None = None, chain_split: int | None = None,
 ):
@@ -399,15 +399,21 @@ def pallas_udf_train_value_and_gradient(
     """
     if interpret is None:
         interpret = not pallas_available()
-    if tile_bwd is None:
-        # default 512 (bf16-tier sweep winner), clamped so small explicit
-        # tile_fwd values (e.g. 256) stay valid without also passing tile_bwd
-        tile_bwd = min(512, tile_fwd)
-    if tile_fwd % tile_bwd:
-        raise ValueError("tile_bwd must divide tile_fwd (shared padding)")
     if fuse_pe is None:
         fuse_pe = cfg.fuse_pe
     fuse_pe = fuse_pe and cfg.multires > 0 and cfg.d_in == 3
+    if tile_fwd is None:
+        tile_fwd = cfg.tile_fwd or 1024
+    if tile_bwd is None and cfg.tile_bwd:
+        tile_bwd = cfg.tile_bwd
+    if tile_bwd is None:
+        # default: 512 (bf16-tier sweep winner), clamped so small explicit
+        # tile_fwd values (e.g. 256) stay valid without also passing
+        # tile_bwd; under fuse_pe the (1024, 1024) pair measured fastest
+        # (7.50 vs 7.62 ms kernel fwd+bwd, scripts/bench_fusepe.py r5)
+        tile_bwd = min(1024 if fuse_pe else 512, tile_fwd)
+    if tile_fwd % tile_bwd:
+        raise ValueError("tile_bwd must divide tile_fwd (shared padding)")
     if chain_split is None:
         chain_split = cfg.chain_split
     if tile_bwd % (chain_split * 128):

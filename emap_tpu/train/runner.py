@@ -653,6 +653,10 @@ class Runner:
                 list(auto_threshold),
                 self.scene.data_dir,
                 self.scene.detector,
+                # signal-free fallback anchor (pick_candidate): the conf's
+                # own fixed threshold wins when neither the 3D probe nor
+                # the 2D spread can rank the candidates
+                default_thr=udf_threshold,
                 # a field with no certified zero set (e.g. barely trained)
                 # yields an empty probe; rank by the 2D score alone then
                 # instead of a degenerate all-zero f3d tie

@@ -121,7 +121,8 @@ def bench_full_step(fuse_pe: bool, chain_split: int, label: str):
         )
         scene = load_scene(conf)
     pool = RayPool.from_scene(scene)
-    ucfg = UDFConfig(fuse_pe=fuse_pe, chain_split=chain_split)
+    ucfg = UDFConfig(fuse_pe=fuse_pe, chain_split=chain_split,
+                     tile_bwd=int(os.environ.get("FP_TILE_BWD", "0")))
     rcfg = RenderConfig(field_precision="default")
     tcfg = TrainConfig(batch_size=1024, end_iter=50000,
                        near=scene.near, far=scene.far)

@@ -104,9 +104,64 @@ def main() -> None:
         "gates": gates,
         "score": score,
     }
+    sel_path = os.path.join(exp_dir, "results", "threshold_selection.json")
+    if os.path.isfile(sel_path):
+        with open(sel_path) as f:
+            report["threshold_selection"] = json.load(f)
+
+    # ---- optional GT-oracle table over fixed thresholds (VERDICT r2
+    # item 2a): re-extract at each candidate with the selector OFF, at the
+    # conf's own protocol, and score each against the analytic GT. Shows
+    # where the selector's pick lands relative to the (production-invisible)
+    # oracle. DTU200K_ORACLE="0.005 0.0075 0.01 0.015 0.02 0.03" to enable.
+    oracle_thrs = [float(t) for t in
+                   os.environ.get("DTU200K_ORACLE", "").split()]
+    try:
+        _oracle_pass(report, oracle_thrs, conf, exp_dir, score_extraction)
+    except Exception as exc:  # never lose the 46-min train to a score bug
+        report["oracle_error"] = repr(exc)
+
     with open(os.path.join(OUT, "report.json"), "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))
+
+
+def _oracle_pass(report, oracle_thrs, conf, exp_dir, score_extraction):
+    if oracle_thrs:
+        import shutil
+
+        from emap_tpu.train.runner import Runner
+
+        res_dir = os.path.join(exp_dir, "results")
+        snapshot = os.path.join(OUT, "results_selector_snapshot")
+        shutil.rmtree(snapshot, ignore_errors=True)
+        shutil.copytree(res_dir, snapshot)
+        econf = conf  # the stand-in conf written above
+        runner = Runner(econf, mode="extract_edge")
+        ee = econf["edge_extraction"]
+        rows = []
+        for thr in oracle_thrs:
+            ed = runner.extract_edge(
+                resolution=ee["resolution"],
+                udf_threshold=thr,
+                sampling_N=ee["sampling_N"],
+                sampling_delta=ee["sampling_delta"],
+                is_pointshift=ee["is_pointshift"],
+                iters=ee["iters"],
+                is_linedirection=ee["is_linedirection"],
+                visible_checking=ee["visible_checking"],
+                auto_threshold=None,
+            )
+            s = score_extraction(exp_dir, ed, OBJ)
+            rows.append({"thr": thr, "fscore_0.005": s["fscore_0.005"],
+                         "fscore_0.01": s["fscore_0.01"],
+                         "n_lines": s["n_lines"], "n_curves": s["n_curves"],
+                         "chamfer": s["chamfer"]})
+            print(json.dumps(rows[-1]), flush=True)
+        shutil.rmtree(res_dir, ignore_errors=True)
+        shutil.copytree(snapshot, res_dir)
+        shutil.rmtree(snapshot, ignore_errors=True)
+        report["oracle_thresholds"] = rows
 
 
 if __name__ == "__main__":

@@ -77,7 +77,9 @@ def validate(seed: int) -> dict:
 
     f5 = np.array([r["f5_gt"] for r in rows])
     f3d = np.array([r["f3d"] for r in rows])
-    pick = pick_candidate(rows)  # THE shipped rule, imported verbatim
+    # THE shipped rule, imported verbatim (production anchors the
+    # signal-free fallback to the conf's own fixed threshold)
+    pick = pick_candidate(rows, default_thr=DEFAULT_THR)
     default_i = THRESHOLDS.index(DEFAULT_THR)
     # Spearman by hand (scipy-free): correlation of the two rank vectors
     rk = lambda v: np.argsort(np.argsort(v)).astype(float)  # noqa: E731
