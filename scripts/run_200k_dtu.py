@@ -53,6 +53,11 @@ def main() -> None:
     conf["train.latest_model_name"] = "ckpt_best.npz"  # native ckpt format
     if ITERS != 200000:  # smoke override only; production runs verbatim
         conf["train.end_iter"] = ITERS
+        # the conf's 5k save cadence never fires on a short smoke
+        conf["train.save_freq"] = min(5000, max(500, ITERS // 2))
+        conf["train.val_freq"] = conf["train.save_freq"]
+    if os.environ.get("DTU200K_RES"):  # smoke override only
+        conf["edge_extraction.resolution"] = int(os.environ["DTU200K_RES"])
     conf_path = os.path.join(OUT, f"{CONF}_standin.conf")
     with open(conf_path, "w") as f:
         f.write(conf.to_hocon())
