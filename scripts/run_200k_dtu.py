@@ -62,9 +62,16 @@ def main() -> None:
     with open(conf_path, "w") as f:
         f.write(conf.to_hocon())
 
+    # DTU200K_SKIP_TRAIN=1: resume from an already-completed checkpoint
+    # (e.g. the train finished but the host died before extraction); the
+    # extract_edge mode loads ckpt_best.npz itself. DTU200K_TRAIN_WALL
+    # carries the original train wall-clock into the report.
     t0 = time.time()
-    cli_main(["--conf", conf_path, "--mode", "train"])
-    train_wall = time.time() - t0
+    if os.environ.get("DTU200K_SKIP_TRAIN", "") != "1":
+        cli_main(["--conf", conf_path, "--mode", "train"])
+        train_wall = time.time() - t0
+    else:
+        train_wall = float(os.environ.get("DTU200K_TRAIN_WALL", "0"))
 
     t1 = time.time()
     cli_main(["--conf", conf_path, "--mode", "extract_edge"])
