@@ -105,6 +105,9 @@ def main(argv=None) -> None:
             auto_threshold=[
                 float(t) for t in ee.get_list("auto_threshold", [])
             ],
+            # "" = session backend; "cpu" pins extraction to a canonical
+            # backend for cross-machine reproducibility (runner.extract_edge)
+            platform=ee.get_string("platform", ""),
         )
 
 

@@ -75,11 +75,16 @@ class UDFConfig:
     # (kernels/mlp_train.py): the HBM streams shrink from d0_pad rows to 8
     # raw-point rows each way and the step's XLA-side PE fusions disappear.
     # Bit-compatible with the host path up to f32 sin/cos rounding.
-    fuse_pe: bool = False
+    # Default ON per measurement (parity_results/bench_fusepe.json): the
+    # production step drops 9.41 -> 8.75 ms (+7% rays/s), weight-grad
+    # relerr vs XLA autodiff 1.3e-5, 12k-cube e2e F@5mm inside the 5-seed
+    # band. No-ops (auto-gated off) unless multires > 0 and d_in == 3.
+    fuse_pe: bool = True
     # Carve each backward tile into this many independent sub-chains so the
     # Mosaic scheduler can overlap one sub-chain's early dots with
     # another's deeper layers (the serial-layer-chain latency experiment,
-    # VERDICT r2 item 4). 1 = off.
+    # VERDICT r2 item 4). 1 = off. split-2 measured 8.69 vs 8.75 ms under
+    # fuse_pe — inside run-to-run noise, so the default stays off.
     chain_split: int = 1
     # Pallas train-kernel point-tile sizes; 0 = auto (1024 fwd,
     # min(512, tile_fwd) bwd — or 1024 bwd under fuse_pe, where the

@@ -54,7 +54,14 @@ from emap_tpu.fields.udf import UDFConfig, _effective_weight
 
 
 def pallas_available() -> bool:
+    """True when jitted computation will land on a TPU — i.e. the effective
+    default device is one. Respects a `jax.default_device(...)` context (the
+    extraction backend pin, train/runner.py extract_edge platform=), which
+    redirects placement without changing jax.devices() order."""
     try:
+        dd = jax.config.jax_default_device
+        if dd is not None:
+            return getattr(dd, "platform", str(dd)) == "tpu"
         return jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover
         return False

@@ -583,6 +583,7 @@ class Runner:
         is_linedirection: bool = False,
         visible_checking: bool = False,
         auto_threshold: "list[float] | None" = None,
+        platform: str = "",
     ) -> dict:
         """Extract parametric edges from the trained UDF.
 
@@ -593,12 +594,49 @@ class Runner:
         table lands in results/threshold_selection.json. udf_threshold is
         ignored in that mode. The dense grid pass re-runs per candidate;
         at production 256^3 that is ~10 s per extra candidate (BASELINE.md).
+
+        platform (no reference counterpart — the reference is
+        single-platform, extract_pointcloud.py:36-88): a non-empty jax
+        platform name ("cpu", "tpu") pins every field query in the
+        extraction to that backend via jax.default_device. The fit/merge
+        stage is chaotic in its inputs — f32 backend roundoff (~3e-6 in
+        udf values, ~0.4 deg in normals) re-rolls F@5mm by ~±0.1 across
+        backends even though the point clouds agree to <=1.5e-3
+        (diag_platform/compare_s*_cpu_tpu.json) — so cross-machine
+        reproducible extraction requires a canonical backend. "" (default)
+        keeps the session backend: fastest, bit-stable on any one machine.
         """
         self.load_checkpoint()
         if self.model_type != "udf":
             raise NotImplementedError(
                 "model types other than 'udf' are not supported"
             )
+        import contextlib
+
+        device_pin = (
+            jax.default_device(jax.devices(platform)[0])
+            if platform
+            else contextlib.nullcontext()
+        )
+        with device_pin:
+            return self._extract_edge_impl(
+                resolution, udf_threshold, sampling_N, sampling_delta,
+                is_pointshift, iters, is_linedirection, visible_checking,
+                auto_threshold,
+            )
+
+    def _extract_edge_impl(
+        self,
+        resolution: int,
+        udf_threshold: float,
+        sampling_N: int,
+        sampling_delta: float,
+        is_pointshift: bool,
+        iters: int,
+        is_linedirection: bool,
+        visible_checking: bool,
+        auto_threshold: "list[float] | None",
+    ) -> dict:
 
         def extract_at(thr: float):
             points, line_dirs = extract_pointcloud(

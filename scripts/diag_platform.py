@@ -134,7 +134,11 @@ def fit_and_score(dump_path: str, tag: str = "") -> dict:
     """Stages 4-5: host fit from a dumped cloud, scored vs the analytic GT.
 
     The fit is pure host numpy (seeded), so any F difference between two
-    dumps is attributable to the dumped cloud, not the fit."""
+    dumps is attributable to the dumped cloud, not the fit.
+
+    DP_QUANT / DP_DIRQUANT > 0 snap point coords / line directions to a
+    lattice post-hoc (mitigation probe: does coarsening the fit's inputs
+    absorb the sub-roundoff platform noise before the chaotic fit sees it?)."""
     from emap_tpu.extract.parametric import get_parametric_edge
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -142,6 +146,13 @@ def fit_and_score(dump_path: str, tag: str = "") -> dict:
 
     d = np.load(dump_path)
     xyz, line_dirs = d["xyz"], d["line_dirs"]
+    if QUANT > 0:
+        xyz = np.round(xyz / QUANT) * QUANT
+    dq = float(os.environ.get("DP_DIRQUANT", "0"))
+    if dq > 0:
+        line_dirs = np.round(line_dirs / dq) * dq
+        n = np.linalg.norm(line_dirs, axis=-1, keepdims=True)
+        line_dirs = line_dirs / np.maximum(n, 1e-12)
     ld_colors = (line_dirs + 1.0) / 2.0
     _, edge_dict = get_parametric_edge(
         xyz, ld_colors, RES, "DexiNed",

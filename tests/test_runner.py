@@ -339,3 +339,37 @@ def test_pinned_model_precision_governs_train_field_tier(runner_conf):
     conf["model.udf_renderer.field_precision"] = "default"
     runner = Runner(conf, mode="validate")
     assert runner.rcfg.field_precision == "default"
+
+
+def test_extract_edge_platform_pin(runner_conf, tmp_path):
+    """edge_extraction.platform pins every extraction field query to a
+    canonical jax backend via jax.default_device (no reference counterpart
+    — the reference is single-platform, extract_pointcloud.py:36-88).
+    Measured on the axon TPU session: platform="cpu" reproduces a pure-CPU
+    process bitwise (BASELINE.md cross-platform section); here (CPU test
+    env) we pin the wiring: same artifacts, and pallas_available() must
+    report the EFFECTIVE default device inside the context."""
+    import jax
+
+    from emap_tpu.kernels.mlp_query import pallas_available
+    from emap_tpu.train.runner import Runner
+
+    conf = config.Config(json.loads(json.dumps(runner_conf.as_dict())))
+    conf["general"]["base_exp_dir"] = str(tmp_path / "exp_pin")
+    runner = Runner(conf, mode="train")
+    runner.save_checkpoint(0.0)  # geometric-init field: a sphere-ish UDF
+
+    kwargs = dict(
+        resolution=16, udf_threshold=0.3, sampling_N=8, sampling_delta=0.01,
+        is_pointshift=True, iters=1, is_linedirection=True,
+        visible_checking=False,
+    )
+    ref = runner.extract_edge(**kwargs)
+    pinned = runner.extract_edge(**kwargs, platform="cpu")
+    assert pinned == ref  # CPU session: pin is the identity, end to end
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        assert pallas_available() is False
+
+    with pytest.raises(RuntimeError):
+        runner.extract_edge(**kwargs, platform="nonexistent-backend")
