@@ -99,7 +99,7 @@ class UDFConfig:
             precision=conf.get_string("precision", "high"),
             bwd_precision=conf.get_string("bwd_precision", ""),
             pallas_train=conf.get_string("pallas_train", "auto"),
-            fuse_pe=conf.get_bool("fuse_pe", False),
+            fuse_pe=conf.get_bool("fuse_pe", True),
             chain_split=conf.get_int("chain_split", 1),
             tile_fwd=conf.get_int("tile_fwd", 0),
             tile_bwd=conf.get_int("tile_bwd", 0),

@@ -90,9 +90,11 @@ def build_conf(
                     "geometric_init": True, "weight_norm": True,
                     "udf_type": "abs",
                     "pallas_train": pallas_train,
-                    # E2E_FUSE_PE=1: in-kernel PE encode/Jacobian
-                    # (kernels/mlp_train.py fuse_pe — the r5 step lever)
-                    "fuse_pe": os.environ.get("E2E_FUSE_PE", "") == "1",
+                    # In-kernel PE encode/Jacobian (kernels/mlp_train.py
+                    # fuse_pe — the r5 step lever). Default matches the
+                    # shipped production default (ON); E2E_FUSE_PE=0
+                    # restores the pre-flip XLA-side PE path.
+                    "fuse_pe": os.environ.get("E2E_FUSE_PE", "1") == "1",
                 },
                 "variance_network": {"init_val": 0.3},
                 "beta_network": {

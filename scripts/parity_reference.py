@@ -64,6 +64,7 @@ MULTIRES = int(os.environ.get("PARITY_MULTIRES", "6"))
 SAMPLER_PREC = os.environ.get("PARITY_SAMPLER_PREC", "default")
 FIELD_PREC = os.environ.get("PARITY_FIELD_PREC", "high")
 BWD_PREC = os.environ.get("PARITY_BWD_PREC", "")
+FUSE_PE = os.environ.get("PARITY_FUSE_PE", "0") == "1"
 
 
 def shared_conf_dict(side: str) -> dict:
@@ -83,6 +84,11 @@ def shared_conf_dict(side: str) -> dict:
         # r4 production flip (from_conf field_precision -> "default") would
         # otherwise silently retier every run of this harness.
         d["model"]["udf_renderer"]["field_precision"] = ""
+        # Same treatment for the r5 fuse_pe production flip: recorded
+        # control rows (score_ours_r3_seed*.json) trained with the XLA-side
+        # PE path, so the harness pins it off unless PARITY_FUSE_PE=1
+        # (the fuse_pe_on A/B tier in precision_ab.sh).
+        d["model"]["udf_network"]["fuse_pe"] = FUSE_PE
     return d
 
 

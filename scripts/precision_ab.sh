@@ -27,9 +27,10 @@ for tier in $TIERS; do
     sampler_highest) EXTRA="PARITY_SAMPLER_PREC=highest"; SCORE_EXTRA=$EXTRA ;;
     bwd_highest)     EXTRA="PARITY_BWD_PREC=highest"; SCORE_EXTRA=$EXTRA ;;
     field_default)   EXTRA="PARITY_FIELD_PREC=default"; SCORE_EXTRA="" ;;
-    # fuse_pe_on: plain current defaults (fuse_pe flipped on, round 3
-    # cycle-2) — controls are the pre-flip score_ours_r3_seed*.json rows
-    fuse_pe_on)      EXTRA=""; SCORE_EXTRA="" ;;
+    # fuse_pe_on: the r5 production default (in-kernel PE encode/Jacobian)
+    # — controls are the pre-flip score_ours_r3_seed*.json rows. Train-time
+    # only; extraction never touches the train kernel.
+    fuse_pe_on)      EXTRA="PARITY_FUSE_PE=1"; SCORE_EXTRA="" ;;
     control)         EXTRA=""; SCORE_EXTRA="" ;;
     *) echo "unknown tier $tier"; exit 1 ;;
   esac

@@ -152,3 +152,46 @@ def test_runner_boots_from_reference_abc_conf(tmp_path):
     assert runner.rcfg.n_samples == 64 and runner.rcfg.n_importance == 50
     assert runner.tcfg.batch_size == 1024
     assert runner.end_iter == 50000
+
+
+def test_udf_from_conf_knob_defaults_match_dataclass():
+    """Tuning knobs absent from a conf must inherit the dataclass defaults.
+
+    Regression: the fuse_pe default flip (r3) changed the dataclass default
+    to True but from_conf still pinned False, so bench.py (dataclass path)
+    and the production CLI (from_conf path) silently ran different kernels.
+    """
+    import dataclasses
+
+    from emap_tpu.fields.udf import UDFConfig
+
+    conf = config.parse_file("confs/ABC.conf")
+    sub = conf.get_config("model.udf_network")
+    built = UDFConfig.from_conf(sub)
+    default = UDFConfig()
+    for f in dataclasses.fields(UDFConfig):
+        if f.name in sub:
+            continue  # conf-set values legitimately differ
+        assert getattr(built, f.name) == getattr(default, f.name), f.name
+
+
+def test_render_from_conf_knob_defaults_match_dataclass():
+    """Same drift guard for RenderConfig, with the documented exceptions:
+    `field_precision` intentionally differs (the r4 production flip lives in
+    from_conf so dataclass users like bench.py must opt in explicitly), and
+    UDFConfig.multires mirrors the reference's constructor default (0) while
+    the dataclass default is the flagship 10 (always conf-set in practice).
+    """
+    import dataclasses
+
+    from emap_tpu.render.renderer import RenderConfig
+
+    conf = config.parse_file("confs/ABC.conf")
+    sub = conf.get_config("model.udf_renderer")
+    built = RenderConfig.from_conf(sub)
+    default = RenderConfig()
+    intentional = {"field_precision"}
+    for f in dataclasses.fields(RenderConfig):
+        if f.name in sub or f.name in intentional:
+            continue
+        assert getattr(built, f.name) == getattr(default, f.name), f.name
