@@ -39,16 +39,18 @@ KERNEL_LOGICAL_DOTS = 61
 KERNEL_HIDDEN = 256
 
 
-def _xla_visible_flops(step_fn, state, pool) -> float:
+def _xla_visible_flops(step_fn, state, pool):
     """XLA cost-analysis FLOPs of the compiled step (excludes the Pallas
-    custom-call's interior)."""
+    custom-call's interior). Returns (flops, error_repr_or_None) so a
+    cost-analysis failure is surfaced in the JSON instead of silently
+    zeroing the MFU (ADVICE r3)."""
     try:
         cost = step_fn.lower(state, pool).compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
-        return float(cost.get("flops", 0.0))
-    except Exception:
-        return 0.0
+        return float(cost.get("flops", 0.0)), None
+    except Exception as exc:
+        return 0.0, repr(exc)
 
 
 def main() -> None:
@@ -109,10 +111,20 @@ def main() -> None:
     step_ms = dt / n_iters * 1e3
 
     # MFU: XLA-visible FLOPs + the Pallas train kernel's analytic logical
-    # FLOPs (batch * n_points_per_ray render_core queries).
+    # FLOPs (batch * n_points_per_ray render_core queries). The analytic
+    # term is gated on the kernel actually being in the compiled step —
+    # on the XLA field path (pallas_train off / non-TPU) cost_analysis
+    # already counts those dots and adding them double-counts (ADVICE r3).
+    from emap_tpu.render.renderer import _use_pallas_train
+
+    kernel_active = _use_pallas_train(ucfg)
     n_points = batch * (rcfg.n_samples + rcfg.n_importance_delivered)
-    kernel_flops = n_points * KERNEL_LOGICAL_DOTS * 2 * KERNEL_HIDDEN**2
-    flops_per_step = _xla_visible_flops(step_fn, state, pool) + kernel_flops
+    kernel_flops = (
+        n_points * KERNEL_LOGICAL_DOTS * 2 * KERNEL_HIDDEN**2
+        if kernel_active else 0.0
+    )
+    xla_flops, cost_err = _xla_visible_flops(step_fn, state, pool)
+    flops_per_step = xla_flops + kernel_flops
     mfu_pct = flops_per_step / (dt / n_iters) / V5E_BF16_PEAK * 100.0
 
     result = {
@@ -123,6 +135,10 @@ def main() -> None:
         "step_ms": round(step_ms, 2),
         "mfu_pct": round(mfu_pct, 2),
     }
+    if cost_err is not None:
+        result["cost_analysis_error"] = cost_err
+    if not kernel_active:
+        result["pallas_train_kernel"] = False
     print(json.dumps(result))
 
 

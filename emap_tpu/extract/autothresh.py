@@ -225,6 +225,12 @@ def _certify_probe(xyz, vals, confidence, loose_threshold, max_points=200_000,
         q25 = float(np.percentile(vals, 25.0))
         if q25 <= loose_threshold / 4.0:
             probe = xyz[vals <= q25]
+    if len(probe) < 64:
+        # A 1-63-point probe quantizes recall3d in steps of 1/n_probe, so
+        # the f3d-primary ranking would be noise-driven (ADVICE r3). An
+        # empty probe routes every caller to the 2D-score + conf-anchor
+        # fallback instead.
+        return xyz[:0]
     if len(probe) > max_points:
         rng = np.random.default_rng(seed)
         probe = probe[rng.choice(len(probe), max_points, replace=False)]

@@ -696,9 +696,11 @@ class Runner:
                 # the 2D spread can rank the candidates
                 default_thr=udf_threshold,
                 # a field with no certified zero set (e.g. barely trained)
-                # yields an empty probe; rank by the 2D score alone then
-                # instead of a degenerate all-zero f3d tie
-                probe_points=probe if len(probe) else None,
+                # yields an empty probe; a probe under 64 points quantizes
+                # recall3d in steps of 1/n so the f3d ranking is noise
+                # (ADVICE r3) — both cases rank by the 2D score + conf
+                # anchor instead of a noise-driven f3d argmax
+                probe_points=probe if len(probe) >= 64 else None,
             )
             points, ld_colors, pred_points, edge_dict = cache[best_thr]
             with open(

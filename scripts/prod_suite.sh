@@ -7,12 +7,16 @@
 # runs a smaller 512-ray/res-96/thr-0.03 protocol and is noisier).
 #
 # Usage: bash scripts/prod_suite.sh [seeds]   (default "7 99 3 1234")
+#   OUT_BASE env (default prod_suite) picks the suite directory — r4 runs
+#   at the current shipped defaults (fuse_pe via conf + selector on) go to
+#   a fresh dir so the r3 fixed-threshold rows stay comparable.
 set -u
 cd "$(dirname "$0")/.."
 SEEDS=${1:-"7 99 3 1234"}
-mkdir -p prod_suite
+OUT_BASE=${OUT_BASE:-prod_suite}
+mkdir -p "$OUT_BASE"
 for seed in $SEEDS; do
-  out="$(pwd)/prod_suite/s${seed}"
+  out="$(pwd)/${OUT_BASE}/s${seed}"
   report="$out/report.json"
   if [ -f "$report" ]; then
     echo "=== skip seed ${seed} (already run) ==="

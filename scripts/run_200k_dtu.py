@@ -15,7 +15,9 @@ the checkpoint flags and metric history.
 Env: DTU200K_OUT (./e2e_dtu200k), DTU200K_ITERS (200000 — override only for
 smokes), DTU200K_OBJ (cube), DTU200K_CONF ("DTU"; set "Replica" to drive
 confs/Replica.conf verbatim instead — same 200k contract,
-/root/reference/confs/Replica.conf:29 — with its own scan name "room0").
+/root/reference/confs/Replica.conf:29 — with its own scan name "room0"),
+DTU200K_SEED (0 = conf verbatim, i.e. the reference's fixed 42 — set for
+fresh-seed validation of the extended selector menus, VERDICT r3 item 4).
 """
 
 from __future__ import annotations
@@ -33,6 +35,7 @@ ITERS = int(os.environ.get("DTU200K_ITERS", "200000"))
 OBJ = os.environ.get("DTU200K_OBJ", "cube")
 CONF = os.environ.get("DTU200K_CONF", "DTU")
 SCAN = {"DTU": "scan105", "Replica": "room0"}[CONF]
+SEED = int(os.environ.get("DTU200K_SEED", "0"))  # 0 = conf verbatim (42)
 
 
 def main() -> None:
@@ -51,6 +54,8 @@ def main() -> None:
     conf["dataset.data_dir"] = data_dir
     conf["dataset.far"] = 4.5  # synthetic cameras orbit at r=2.2
     conf["train.latest_model_name"] = "ckpt_best.npz"  # native ckpt format
+    if SEED:  # fresh-seed menu validation only; production runs verbatim
+        conf["train.seed"] = SEED
     if ITERS != 200000:  # smoke override only; production runs verbatim
         conf["train.end_iter"] = ITERS
         # the conf's 5k save cadence never fires on a short smoke
@@ -110,6 +115,7 @@ def main() -> None:
 
     report = {
         "conf": f"confs/{CONF}.conf (data_dir/scan/far overridden)",
+        "seed": SEED or 42,
         "iters": ITERS,
         "train_wall_s": round(train_wall, 1),
         "extract_wall_s": round(extract_wall, 1),
@@ -152,27 +158,33 @@ def _oracle_pass(report, oracle_thrs, conf, exp_dir, score_extraction):
         runner = Runner(econf, mode="extract_edge")
         ee = econf["edge_extraction"]
         rows = []
-        for thr in oracle_thrs:
-            ed = runner.extract_edge(
-                resolution=ee["resolution"],
-                udf_threshold=thr,
-                sampling_N=ee["sampling_N"],
-                sampling_delta=ee["sampling_delta"],
-                is_pointshift=ee["is_pointshift"],
-                iters=ee["iters"],
-                is_linedirection=ee["is_linedirection"],
-                visible_checking=ee["visible_checking"],
-                auto_threshold=None,
-            )
-            s = score_extraction(exp_dir, ed, OBJ)
-            rows.append({"thr": thr, "fscore_0.005": s["fscore_0.005"],
-                         "fscore_0.01": s["fscore_0.01"],
-                         "n_lines": s["n_lines"], "n_curves": s["n_curves"],
-                         "chamfer": s["chamfer"]})
-            print(json.dumps(rows[-1]), flush=True)
-        shutil.rmtree(res_dir, ignore_errors=True)
-        shutil.copytree(snapshot, res_dir)
-        shutil.rmtree(snapshot, ignore_errors=True)
+        try:
+            for thr in oracle_thrs:
+                ed = runner.extract_edge(
+                    resolution=ee["resolution"],
+                    udf_threshold=thr,
+                    sampling_N=ee["sampling_N"],
+                    sampling_delta=ee["sampling_delta"],
+                    is_pointshift=ee["is_pointshift"],
+                    iters=ee["iters"],
+                    is_linedirection=ee["is_linedirection"],
+                    visible_checking=ee["visible_checking"],
+                    auto_threshold=None,
+                )
+                s = score_extraction(exp_dir, ed, OBJ)
+                rows.append({"thr": thr, "fscore_0.005": s["fscore_0.005"],
+                             "fscore_0.01": s["fscore_0.01"],
+                             "n_lines": s["n_lines"],
+                             "n_curves": s["n_curves"],
+                             "chamfer": s["chamfer"]})
+                print(json.dumps(rows[-1]), flush=True)
+        finally:
+            # restore the selector's production artifacts even when an
+            # oracle extraction throws mid-loop — otherwise results/ would
+            # silently hold the last candidate's output (ADVICE r3)
+            shutil.rmtree(res_dir, ignore_errors=True)
+            shutil.copytree(snapshot, res_dir)
+            shutil.rmtree(snapshot, ignore_errors=True)
         report["oracle_thresholds"] = rows
 
 

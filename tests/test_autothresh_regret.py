@@ -1,0 +1,92 @@
+"""Selector oracle-regret replay over the archived validation tables
+(VERDICT r3 item 7).
+
+Every auto-threshold validation run this project has recorded (cube/rings
+harness 50k suites, the weak-seed diagnosis checkpoints, the 8k rings
+parity checkpoints, the production ABC checkpoints, the extended-menu
+200k DTU/Replica runs — BASELINE.md selector sections) archived its
+per-candidate score table. The tables carry both the selector's inputs
+(f2d / f3d / n_probe per candidate) and the GT oracle column (f5_gt), so
+the SELECTION RULE can be replayed offline: feed each table back through
+`pick_candidate` and tally hits/regret against the oracle.
+
+This pins the recorded 22/23 oracle tally (one documented 0.033 miss,
+rings-8k seed 42, where the top two f3d scores sit 0.002 apart on a
+694-point probe) so future edits to `pick_candidate` cannot silently
+regress the selector on checkpoints that no longer exist to re-extract.
+
+Fixture snapshots: tests/fixtures/autothresh_tables/ (copied verbatim from
+the run artifacts named in each DEFAULT_THR entry; the fixed default
+threshold is the one each validation's conf used).
+"""
+
+import json
+import os
+
+from emap_tpu.extract.autothresh import pick_candidate
+
+FIXTURES = os.path.join(
+    os.path.dirname(__file__), "fixtures", "autothresh_tables"
+)
+
+# source artifact -> the conf's fixed threshold at that validation
+# (pick_candidate's signal-free anchor; tables recording their own
+# default_threshold override these)
+DEFAULT_THR = {
+    "diag_seeds.json": 0.03,        # diag_seeds/autothresh_validation.json
+    "harness_cube.json": 0.03,      # e2e_newtier/autothresh_validation.json
+    "rings50k.json": 0.03,          # e2e_rings50k/autothresh_validation.json
+    "rings8k.json": 0.03,           # parity_results/autothresh_rings.json
+    "prod_abc.json": 0.02,          # prod_suite/autothresh_prod.json
+    "dtu200k_ext.json": 0.015,      # parity_results/autothresh_dtu200k_ext
+    "replica200k_ext.json": 0.01,   # parity_results/autothresh_replica200k_ext
+}
+
+# the recorded tally this test protects (BASELINE.md selector sections)
+EXPECTED_CHECKPOINTS = 23
+EXPECTED_MIN_HITS = 22
+EXPECTED_MAX_MEAN_REGRET = 0.0015
+EXPECTED_MAX_SINGLE_REGRET = 0.034  # the documented rings-8k s42 miss
+
+
+def _replay():
+    results = []
+    for fn, fallback_thr in DEFAULT_THR.items():
+        with open(os.path.join(FIXTURES, fn)) as f:
+            table = json.load(f)
+        default_thr = table.get("default_threshold", fallback_thr)
+        for res in table["results"]:
+            rows = res["rows"]
+            i = pick_candidate(rows, default_thr=default_thr)
+            f5 = [r["f5_gt"] for r in rows]
+            results.append({
+                "table": fn,
+                "seed": res.get("seed"),
+                "picked_thr": rows[i]["udf_threshold"],
+                "regret": max(f5) - f5[i],
+            })
+    return results
+
+
+def test_oracle_regret_tally():
+    rows = _replay()
+    assert len(rows) == EXPECTED_CHECKPOINTS
+    hits = sum(1 for r in rows if r["regret"] < 1e-9)
+    mean_regret = sum(r["regret"] for r in rows) / len(rows)
+    max_regret = max(r["regret"] for r in rows)
+    detail = [r for r in rows if r["regret"] >= 1e-9]
+    assert hits >= EXPECTED_MIN_HITS, (hits, detail)
+    assert mean_regret <= EXPECTED_MAX_MEAN_REGRET, (mean_regret, detail)
+    assert max_regret <= EXPECTED_MAX_SINGLE_REGRET, (max_regret, detail)
+
+
+def test_known_picks_stable():
+    """The landmark picks called out in BASELINE.md must not move: the
+    200k extended-menu runs pick 0.005 (below the original bracket), and
+    every rings-50k checkpoint picks 0.04 (the GT oracle 5/5)."""
+    rows = _replay()
+    for r in rows:
+        if r["table"] in ("dtu200k_ext.json", "replica200k_ext.json"):
+            assert r["picked_thr"] == 0.005, r
+        if r["table"] == "rings50k.json":
+            assert r["picked_thr"] == 0.04, r
