@@ -227,3 +227,91 @@ class TestExtractPointcloud:
         cos_radial = np.abs(np.sum(dirs * radial, axis=1))
         assert np.median(cos_radial) < 0.3
         assert np.median(np.abs(dirs[:, 2])) < 0.3
+
+
+class TestExtractMulti:
+    """extract_pointcloud_multi: K candidate thresholds from ONE shared
+    grid + feature + shift pass (VERDICT r3 item 6)."""
+
+    KW = dict(sampling_N=20, sampling_delta=0.01, is_pointshift=True,
+              iters=2, is_linedirection=True, grid_chunk=110592,
+              point_batch=2048)
+
+    def test_single_threshold_bitexact(self, circle_field):
+        """K=1 must reproduce extract_pointcloud exactly (same grid bits,
+        same batch layout, same jitter draws -> bit-equal xyz AND dirs)."""
+        from emap_tpu.extract import (
+            extract_pointcloud,
+            extract_pointcloud_multi,
+        )
+
+        params, ucfg = circle_field
+        pts, dirs = extract_pointcloud(
+            params, ucfg, resolution=48, udf_threshold=0.03, **self.KW
+        )
+        out = extract_pointcloud_multi(
+            params, ucfg, resolution=48, thresholds=[0.03], **self.KW
+        )
+        np.testing.assert_array_equal(out[0.03][0], pts)
+        np.testing.assert_array_equal(out[0.03][1], dirs)
+
+    def test_multi_matches_standalone_points(self, circle_field):
+        """Each candidate's POINT SET must equal its standalone extraction
+        bit-for-bit (positions/keeps are per-point deterministic; only the
+        line-direction jitter draw differs by batch layout)."""
+        from emap_tpu.extract import (
+            extract_pointcloud,
+            extract_pointcloud_multi,
+        )
+
+        params, ucfg = circle_field
+        thresholds = [0.015, 0.03, 0.05]
+        out = extract_pointcloud_multi(
+            params, ucfg, resolution=48, thresholds=thresholds, **self.KW
+        )
+        for t in thresholds:
+            pts_t, dirs_t = extract_pointcloud(
+                params, ucfg, resolution=48, udf_threshold=t, **self.KW
+            )
+            np.testing.assert_array_equal(
+                out[t][0], pts_t, err_msg=f"thr={t}"
+            )
+            # dirs: different jitter draw, same geometry - unit and tangent
+            norms = np.linalg.norm(out[t][1], axis=1)
+            np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+        # monotone nesting: smaller threshold -> subset of points
+        n = [len(out[t][0]) for t in thresholds]
+        assert n[0] <= n[1] <= n[2]
+
+    def test_sharded_extraction_bitexact(self, circle_field):
+        """The mesh-sharded grid/feature sweeps must be bit-equal to the
+        single-device run (row-wise math only; the jitter is generated
+        unsharded and split over the mesh)."""
+        from emap_tpu.extract import (
+            extract_pointcloud,
+            extract_pointcloud_multi,
+        )
+        from emap_tpu.parallel import make_mesh
+
+        params, ucfg = circle_field
+        mesh = make_mesh(8)
+        pts, dirs = extract_pointcloud(
+            params, ucfg, resolution=48, udf_threshold=0.03, **self.KW
+        )
+        pts_s, dirs_s = extract_pointcloud(
+            params, ucfg, resolution=48, udf_threshold=0.03, mesh=mesh,
+            **self.KW
+        )
+        np.testing.assert_array_equal(pts_s, pts)
+        np.testing.assert_array_equal(dirs_s, dirs)
+
+        out = extract_pointcloud_multi(
+            params, ucfg, resolution=48, thresholds=[0.03, 0.05], **self.KW
+        )
+        out_s = extract_pointcloud_multi(
+            params, ucfg, resolution=48, thresholds=[0.03, 0.05], mesh=mesh,
+            **self.KW
+        )
+        for t in (0.03, 0.05):
+            np.testing.assert_array_equal(out_s[t][0], out[t][0])
+            np.testing.assert_array_equal(out_s[t][1], out[t][1])
