@@ -76,6 +76,21 @@ def load_runner(kind: str, path: str, obj: str):
         # a run_production.py output dir: <path>/<CONF>_standin.conf
         cands = [f for f in os.listdir(path) if f.endswith("_standin.conf")]
         conf = config.parse_file(os.path.join(path, cands[0]))
+    elif kind == "parity":
+        # a parity_reference.py OUT dir holding the torch reference's
+        # ref_final.pth (64x4 net, multires 6 — the parity harness dims);
+        # the .pth loads through ckpt/pth_import via the Runner
+        os.environ["PARITY_OUT"] = os.path.abspath(path)
+        os.environ.setdefault("PARITY_OBJ", obj)
+        import importlib
+
+        import parity_reference
+
+        importlib.reload(parity_reference)  # re-bind OUT to this path
+        conf = config.Config(parity_reference.shared_conf_dict("ref"))
+        conf["train.latest_model_name"] = os.path.join(
+            os.path.abspath(path), "ref_final.pth"
+        )
     else:
         raise ValueError(kind)
     runner = Runner(conf, mode="extract_edge")
