@@ -47,18 +47,34 @@ OFFSETS = [float(t) for t in os.environ.get(
 ).split()]
 OUT = os.environ.get("ZB_OUT", "parity_results/zero_band.json")
 
-# label = (kind, path, obj, grid_res)
-DEFAULT_REGISTRY = [
-    ("rings50k_s42", "e2e", "e2e_rings50k/s42", "rings", 96),
-    ("rings50k_s7", "e2e", "e2e_rings50k/s7", "rings", 96),
-    ("rings50k_s99", "e2e", "e2e_rings50k/s99", "rings", 96),
-    ("rings50k_s3", "e2e", "e2e_rings50k/s3", "rings", 96),
-    ("rings50k_s1234", "e2e", "e2e_rings50k/s1234", "rings", 96),
-    ("cube200k_dtu", "standin", "e2e_dtu200k_r3/DTU_standin.conf", "cube",
-     256),
-    ("cube200k_replica", "standin", "e2e_replica200k/Replica_standin.conf",
-     "cube", 256),
-]
+def default_registry():
+    """(label, kind, path, obj, grid_res) for every schedule-comparison
+    checkpoint on disk: rings 8k vs 50k, cube 50k (production suite) vs
+    200k (DTU/Replica confs), plus the long-schedule torch reference."""
+    reg = []
+    for seed in (42, 7, 99, 3, 1234):
+        if os.path.isdir(f"e2e_rings8k/s{seed}"):
+            reg.append((f"rings8k_s{seed}", "e2e", f"e2e_rings8k/s{seed}",
+                        "rings", 96))
+        if os.path.isdir(f"e2e_rings50k/s{seed}"):
+            reg.append((f"rings50k_s{seed}", "e2e", f"e2e_rings50k/s{seed}",
+                        "rings", 96))
+        if os.path.isfile(f"prod_suite_r4/s{seed}/report.json"):
+            reg.append((f"cube50k_prod_s{seed}", "prod",
+                        f"prod_suite_r4/s{seed}", "cube", 128))
+    for label, conf in (
+        ("cube200k_dtu", "e2e_dtu200k_r3/DTU_standin.conf"),
+        ("cube200k_dtu_s7", "e2e_dtu200k_s7/DTU_standin.conf"),
+        ("cube200k_replica", "e2e_replica200k/Replica_standin.conf"),
+        ("cube200k_replica_s7", "e2e_replica200k_s7/Replica_standin.conf"),
+    ):
+        if os.path.isfile(conf):
+            reg.append((label, "standin", conf, "cube", 256))
+    for steps in (16000, 24000):
+        p = f"parity_ref_runs/rings{steps}_s42"
+        if os.path.isfile(os.path.join(p, "ref_final.pth")):
+            reg.append((f"rings{steps}_ref_s42", "parity", p, "rings", 96))
+    return reg
 
 
 def load_runner(kind: str, path: str, obj: str):
@@ -203,7 +219,7 @@ def main() -> None:
         res = int(os.environ.get("ZB_RES", "96"))
         registry.append((label, kind, path, obj, res))
     if not registry:
-        registry = DEFAULT_REGISTRY
+        registry = default_registry()
 
     rng = np.random.default_rng(0)
     report = {"taus": TAUS, "offsets": OFFSETS, "checkpoints": {}}
