@@ -38,6 +38,11 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+if os.environ.get("ZB_PLATFORM"):  # e.g. cpu — must win over sitecustomize
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["ZB_PLATFORM"])
+
 import numpy as np  # noqa: E402
 
 TAUS = [float(t) for t in os.environ.get(
@@ -201,9 +206,10 @@ def candidate_counts(runner, res: int) -> dict:
     counts = {str(t): 0 for t in TAUS}
     # slab the grid to keep each eval <= 1<<16-aligned chunks
     for z in xs:
-        g = np.stack(np.meshgrid(xs, xs, indexing="ij"), -1).reshape(-1, 3)
-        g = np.concatenate([g, np.full((len(g), 1), z, np.float32)], 1)
-        # meshgrid gave (x, y); append z -> (x, y, z)
+        g = np.stack(np.meshgrid(xs, xs, indexing="ij"), -1).reshape(-1, 2)
+        g = np.concatenate(
+            [g, np.full((len(g), 1), z, np.float32)], 1
+        ).astype(np.float32)  # (x, y) slab + z -> (x, y, z)
         vals = eval_udf(runner, g)
         for t in TAUS:
             counts[str(t)] += int((vals < t).sum())
