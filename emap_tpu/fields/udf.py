@@ -86,6 +86,14 @@ class UDFConfig:
     # VERDICT r2 item 4). 1 = off. split-2 measured 8.69 vs 8.75 ms under
     # fuse_pe — inside run-to-run noise, so the default stays off.
     chain_split: int = 1
+    # Memoize the backward kernel's re-derived activations (sigmoid(100 z)
+    # is consumed ~6x and softplus(100 z) 2x per layer per tile; the z-only
+    # residual scheme re-derives them on demand, a VMEM-for-VPU trade made
+    # under Mosaic's old 16 MiB scoped-VMEM default). With the raised
+    # 100 MiB ceiling the cached copies fit (+~14 MB at tile 1024), values
+    # are bit-identical (same expression, computed once), and only the
+    # VPU-vs-VMEM balance can move. Measured on the TPU before flipping.
+    cache_acts: bool = False
     # Pallas train-kernel point-tile sizes; 0 = auto (1024 fwd,
     # min(512, tile_fwd) bwd — or 1024 bwd under fuse_pe, where the
     # (fuse_pe, tile_bwd=1024) pair measured fastest; see the kernel
@@ -101,6 +109,7 @@ class UDFConfig:
             pallas_train=conf.get_string("pallas_train", "auto"),
             fuse_pe=conf.get_bool("fuse_pe", True),
             chain_split=conf.get_int("chain_split", 1),
+            cache_acts=conf.get_bool("cache_acts", False),
             tile_fwd=conf.get_int("tile_fwd", 0),
             tile_bwd=conf.get_int("tile_bwd", 0),
             d_in=conf.get_int("d_in", 3),

@@ -127,12 +127,23 @@ def _train_bwd_math(x, w_ref, b_ref, ubar, gbar, cfg: UDFConfig):
     # below). bf16 residuals were measured and rejected: they
     # multiply into every adjoint chain and push the weight-grad error to
     # ~1e-2 rel; f32 z keeps it at the dot tier.
+    #
+    # cfg.cache_acts revisits the trade at the raised 100 MiB VMEM
+    # ceiling: sigmoid(100 z_l) is consumed ~6x per layer across the four
+    # phases and u_l twice; the caches below compute each ONCE and reuse
+    # the value (bit-identical — the identical expression on the identical
+    # stored z). Whether Mosaic already CSEs the repeats is unobservable
+    # from the jaxpr, so the knob exists to measure, not to assume.
     zs = []
+    u_cache: dict = {}
+    s_cache: dict = {}
     h = x
     for l in range(L):
         in_l, out_l = dims[l]
         if l in cfg.skip_in:
             h = jnp.concatenate([h, x[:d0, :]], axis=0) * _INV_SQRT2
+        if cfg.cache_acts:
+            u_cache[l] = h
         z = _kernel_dot(W(l), h, prec)[:out_l] + b_ref[:out_l, l : l + 1]
         if l < L - 1:
             zs.append(z)
@@ -142,11 +153,18 @@ def _train_bwd_math(x, w_ref, b_ref, ubar, gbar, cfg: UDFConfig):
     dy = _dy_of_y0(y0, cfg.udf_type, cfg.scale)  # (1, T)
 
     def s32(l):
-        return jax.nn.sigmoid(100.0 * zs[l])
+        if l not in s_cache:
+            s = jax.nn.sigmoid(100.0 * zs[l])
+            if not cfg.cache_acts:
+                return s
+            s_cache[l] = s
+        return s_cache[l]
 
     def u_of(l):
         """Layer l's input, re-derived: x for l=0, else act(z_{l-1})
         (+ skip concat), exactly as the forward chain built it."""
+        if l in u_cache:
+            return u_cache[l]
         if l == 0:
             return x
         a = jax.nn.softplus(100.0 * zs[l - 1]) / 100.0

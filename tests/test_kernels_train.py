@@ -82,6 +82,20 @@ class TestTrainKernelGrads:
         err = _max_rel_err(g_k, g_x)
         assert 1e-6 < err < 3e-2  # lowered tier actually engaged, bounded
 
+    def test_cache_acts_bitwise_identical(self):
+        """cache_acts only memoizes the backward's re-derived activations
+        (sigmoid/softplus of the SAME stored f32 z, computed once instead of
+        ~6x/2x per layer) — grads must be bitwise equal, not just close."""
+        base = dict(d_hidden=64, n_layers=8, multires=6, fuse_pe=True,
+                    precision="highest")
+        _, l_off, params = _loss_pair(UDFConfig(**base, cache_acts=False))
+        _, l_on, _ = _loss_pair(UDFConfig(**base, cache_acts=True))
+        g_off = jax.jit(jax.grad(l_off))(params)
+        g_on = jax.jit(jax.grad(l_on))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g_off),
+                        jax.tree_util.tree_leaves(g_on)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     @pytest.mark.parametrize("udf_type", ["sdf", "square"])
     def test_other_heads(self, udf_type):
         cfg = UDFConfig(d_hidden=64, n_layers=5, multires=4,
