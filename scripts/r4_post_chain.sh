@@ -12,13 +12,14 @@
 #      (item 6 'Done' measurement)
 #   6. selector-vs-GT-oracle on the r4 production checkpoints (seed 3's
 #      0.04 pick scored 0.640 — quantify its regret at production protocol)
+#   7. cache_acts kernel A/B (VERDICT item 8 follow-through)
 set -u
 cd "$(dirname "$0")/.."
 
-echo "=== [1/6] bench sanity ==="
+echo "=== [1/7] bench sanity ==="
 timeout 1200 python bench.py | tee /tmp/bench_r4.json || echo "BENCH FAILED"
 
-echo "=== [2/6] rings-8k production-net checkpoints ==="
+echo "=== [2/7] rings-8k production-net checkpoints ==="
 for seed in 42 7; do
   out="e2e_rings8k/s${seed}"
   if [ -f "$out/exp/cube000/emap/checkpoints/ckpt_best.npz" ]; then
@@ -32,7 +33,7 @@ for seed in 42 7; do
   tail -c 300 "$out.log"; echo
 done
 
-echo "=== [3/6] rings-50k extended threshold sweep ==="
+echo "=== [3/7] rings-50k extended threshold sweep ==="
 if [ -f e2e_rings50k/autothresh_validation.json ] && \
    [ ! -f e2e_rings50k/autothresh_validation_r3menu.json ]; then
   cp e2e_rings50k/autothresh_validation.json \
@@ -45,21 +46,26 @@ AT_RES=96 AT_DEFAULT=0.03 \
   > e2e_rings50k/extended_sweep.log 2>&1 || echo "EXTENDED SWEEP FAILED"
 tail -c 400 e2e_rings50k/extended_sweep.log; echo
 
-echo "=== [4/6] zero-band measurement ==="
+echo "=== [4/7] zero-band measurement ==="
 timeout 7200 python scripts/zero_band.py > /tmp/zero_band.log 2>&1 \
   || echo "ZERO BAND FAILED"
 tail -3 /tmp/zero_band.log
 
-echo "=== [5/6] selector-extraction cost: shared vs per-candidate ==="
+echo "=== [5/7] selector-extraction cost: shared vs per-candidate ==="
 timeout 3600 python scripts/bench_extract_multi.py \
   > /tmp/bench_extract_multi.log 2>&1 || echo "BEM FAILED"
 tail -2 /tmp/bench_extract_multi.log
 
-echo "=== [6/6] r4 prod suite: selector vs GT oracle at production protocol ==="
+echo "=== [6/7] r4 prod suite: selector vs GT oracle at production protocol ==="
 AP_DIRS="prod_suite_r4/s42 prod_suite_r4/s7 prod_suite_r4/s99 prod_suite_r4/s3 prod_suite_r4/s1234" \
 AP_OUT="$(pwd)/prod_suite_r4/autothresh_prod.json" \
   timeout 10800 python scripts/autothresh_prod.py \
   > prod_suite_r4/autothresh_prod.log 2>&1 || echo "AP FAILED"
 tail -2 prod_suite_r4/autothresh_prod.log
+
+echo "=== [7/7] cache_acts kernel A/B at production shape ==="
+timeout 3600 python scripts/bench_cache_acts.py \
+  > /tmp/bench_cache_acts.log 2>&1 || echo "CA FAILED"
+tail -4 /tmp/bench_cache_acts.log
 
 echo "=== r4 post-chain done ==="
