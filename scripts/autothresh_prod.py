@@ -90,7 +90,15 @@ def run_dir(out: str) -> dict | None:
                              runner.scene.detector)
         s3d = score_edges_3d(edge_dict, probe)
         rows.append({"udf_threshold": thr, "f5_gt": gt["fscore_0.005"],
-                     "f10_gt": gt["fscore_0.01"], **s2d, **s3d})
+                     "f10_gt": gt["fscore_0.01"],
+                     # fragment counts: the seed-3 r4 production run picked
+                     # an over-fragmented candidate (70 lines vs 22-34 on
+                     # healthy seeds); record them so any future
+                     # fragmentation-aware selection rule can be replayed
+                     # on archived tables (the pre-r4 tables lack these)
+                     "n_lines": len(edge_dict.get("lines_end_pts", [])),
+                     "n_curves": len(edge_dict.get("curves_ctl_pts", [])),
+                     **s2d, **s3d})
         print(json.dumps({"dir": out, **rows[-1]}), flush=True)
 
     f5 = np.array([r["f5_gt"] for r in rows])
