@@ -69,7 +69,12 @@ def validate(seed: int) -> dict:
                              runner.scene.detector)
         s3d = score_edges_3d(edge_dict, probe)
         row = {"udf_threshold": thr, "f5_gt": gt["fscore_0.005"],
-               "f10_gt": gt["fscore_0.01"], **s2d, **s3d}
+               "f10_gt": gt["fscore_0.01"],
+               # fragment counts (see autothresh_prod.py): lets any future
+               # fragmentation-aware selection rule be replayed on the table
+               "n_lines": len(edge_dict.get("lines_end_pts", [])),
+               "n_curves": len(edge_dict.get("curves_ctl_pts", [])),
+               **s2d, **s3d}
         rows.append(row)
         print(json.dumps({"seed": seed, **row}), flush=True)
 
