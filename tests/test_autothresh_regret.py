@@ -40,11 +40,13 @@ DEFAULT_THR = {
     "prod_abc.json": 0.02,          # prod_suite/autothresh_prod.json
     "dtu200k_ext.json": 0.015,      # parity_results/autothresh_dtu200k_ext
     "replica200k_ext.json": 0.01,   # parity_results/autothresh_replica200k_ext
+    "dtu200k_s7.json": 0.015,       # e2e_dtu200k_s7/report.json (fresh seed)
+    "replica200k_s7.json": 0.01,    # e2e_replica200k_s7/report.json
 }
 
 # the recorded tally this test protects (BASELINE.md selector sections)
-EXPECTED_CHECKPOINTS = 23
-EXPECTED_MIN_HITS = 22
+EXPECTED_CHECKPOINTS = 25
+EXPECTED_MIN_HITS = 24
 EXPECTED_MAX_MEAN_REGRET = 0.0015
 EXPECTED_MAX_SINGLE_REGRET = 0.034  # the documented rings-8k s42 miss
 
@@ -86,7 +88,8 @@ def test_known_picks_stable():
     every rings-50k checkpoint picks 0.04 (the GT oracle 5/5)."""
     rows = _replay()
     for r in rows:
-        if r["table"] in ("dtu200k_ext.json", "replica200k_ext.json"):
+        if r["table"] in ("dtu200k_ext.json", "replica200k_ext.json",
+                          "dtu200k_s7.json", "replica200k_s7.json"):
             assert r["picked_thr"] == 0.005, r
         if r["table"] == "rings50k.json":
             assert r["picked_thr"] == 0.04, r
