@@ -86,6 +86,18 @@ class UDFConfig:
     # VERDICT r2 item 4). 1 = off. split-2 measured 8.69 vs 8.75 ms under
     # fuse_pe — inside run-to-run noise, so the default stays off.
     chain_split: int = 1
+    # HOW the chain_split sub-chains are scheduled inside the kernel body:
+    # "seq" runs each sub-chain to completion before the next (the r2/r4
+    # experiment — measured noise, the scheduler does not overlap whole
+    # chains), "interleave" loop-interchanges to layer-major order (for
+    # every layer, issue all K sub-tiles' dots back-to-back) so consecutive
+    # MXU passes are data-INDEPENDENT and the serial layer chain's
+    # inter-pass latency — the measured residual vs the matmul-only floor
+    # (BASELINE.md floor statement) — can hide behind real work. No-op at
+    # chain_split=1. Numerics: the same dots on the same operands, only
+    # issue/accumulation order changes, so weight grads agree with "seq"
+    # to f32 accumulation roundoff (tested).
+    chain_mode: str = "seq"
     # Memoize the backward kernel's re-derived activations (sigmoid(100 z)
     # is consumed ~6x and softplus(100 z) 2x per layer per tile; the z-only
     # residual scheme re-derives them on demand, a VMEM-for-VPU trade made
@@ -109,6 +121,7 @@ class UDFConfig:
             pallas_train=conf.get_string("pallas_train", "auto"),
             fuse_pe=conf.get_bool("fuse_pe", True),
             chain_split=conf.get_int("chain_split", 1),
+            chain_mode=conf.get_string("chain_mode", "seq"),
             cache_acts=conf.get_bool("cache_acts", False),
             tile_fwd=conf.get_int("tile_fwd", 0),
             tile_bwd=conf.get_int("tile_bwd", 0),

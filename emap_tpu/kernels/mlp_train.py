@@ -256,6 +256,162 @@ def _train_bwd_math(x, w_ref, b_ref, ubar, gbar, cfg: UDFConfig):
     return wbar, bbar
 
 
+def _train_bwd_math_interleaved(xs, w_ref, b_ref, ubars, gbars,
+                                cfg: UDFConfig):
+    """K independent sub-tiles through the SAME four-phase adjoint, with
+    every per-layer loop interchanged to layer-major order: for each layer,
+    the K sub-tiles' dots issue back-to-back. Consecutive MXU passes are
+    then data-independent (sub-tile k+1's layer-l dot does not consume
+    sub-tile k's layer-l result), which is the one scheduling freedom the
+    "seq" sub-chain experiment (chain_split, r2/r4 — measured noise) never
+    gave the Mosaic scheduler. Same dots, same operands, same per-dot
+    precision as `_train_bwd_math`; only issue/accumulation order differs,
+    so results agree to f32 accumulation roundoff (pinned in
+    tests/test_kernels_train.py).
+
+    xs/ubars/gbars: K-lists of (d0_pad, T/K) / (1, T/K) / (d0_pad, T/K).
+    Returns the summed (wbar, bbar) over all K sub-tiles.
+    """
+    K = len(xs)
+    dims = _layer_dims(cfg)
+    L = len(dims)
+    d0 = cfg.dims[0]
+    row_max = max(o for _, o in dims)
+    offs = np.concatenate([[0], np.cumsum([i for i, _ in dims])])
+    prec = cfg.precision
+    prec_b = cfg.bwd_precision or cfg.precision
+
+    def W(l):
+        return w_ref[:, int(offs[l]) : int(offs[l]) + dims[l][0]]
+
+    def dotT(l, v, p=prec):
+        return _kernel_dot(
+            W(l)[: dims[l][1]], v, p,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+        )
+
+    def pad_rows(a, rows):
+        if a.shape[0] == rows:
+            return a
+        return jnp.concatenate(
+            [a, jnp.zeros((rows - a.shape[0], a.shape[1]), a.dtype)], axis=0
+        )
+
+    # ---- forward recompute (layer-major): z-only residuals per sub-tile
+    zs = [[] for _ in range(K)]
+    u_cache = [dict() for _ in range(K)]
+    s_cache = [dict() for _ in range(K)]
+    hs = list(xs)
+    dy = [None] * K
+    for l in range(L):
+        out_l = dims[l][1]
+        for k in range(K):
+            h = hs[k]
+            if l in cfg.skip_in:
+                h = jnp.concatenate([h, xs[k][:d0, :]], axis=0) * _INV_SQRT2
+            if cfg.cache_acts:
+                u_cache[k][l] = h
+            z = _kernel_dot(W(l), h, prec)[:out_l] + b_ref[:out_l, l : l + 1]
+            if l < L - 1:
+                zs[k].append(z)
+                hs[k] = jax.nn.softplus(100.0 * z) / 100.0
+            else:
+                dy[k] = _dy_of_y0(z[:1, :], cfg.udf_type, cfg.scale)
+
+    def s32(k, l):
+        if l not in s_cache[k]:
+            s = jax.nn.sigmoid(100.0 * zs[k][l])
+            if not cfg.cache_acts:
+                return s
+            s_cache[k][l] = s
+        return s_cache[k][l]
+
+    def u_of(k, l):
+        if l in u_cache[k]:
+            return u_cache[k][l]
+        if l == 0:
+            return xs[k]
+        a = jax.nn.softplus(100.0 * zs[k][l - 1]) / 100.0
+        if l in cfg.skip_in:
+            a = jnp.concatenate([a, xs[k][:d0, :]], axis=0) * _INV_SQRT2
+        return a
+
+    # ---- spatial-gradient reverse chain, carries only
+    carries = [[None] * L for _ in range(K)]
+    r = list(dy)
+    for l in reversed(range(1, L)):
+        for k in range(K):
+            q = dotT(l, r[k])
+            carry = q[:-d0, :] * _INV_SQRT2 if l in cfg.skip_in else q
+            carries[k][l] = carry
+            r[k] = carry * s32(k, l - 1)
+
+    def r_of(k, l):
+        return dy[k] if l == L - 1 else carries[k][l + 1] * s32(k, l)
+
+    # ---- phase 3: ascend
+    w_contrib = [None] * L
+    b_contrib = [None] * L
+    s_hat = [[None] * (L - 1) for _ in range(K)]
+    carryhat = [None] * K
+    r_hat_last = [None] * K
+    for l in range(L):
+        for k in range(K):
+            if l == 0:
+                q_hat = gbars[k]
+            elif l in cfg.skip_in:
+                q_hat = jnp.concatenate(
+                    [carryhat[k] * _INV_SQRT2, gbars[k][:d0, :] * _INV_SQRT2],
+                    axis=0,
+                )
+            else:
+                q_hat = carryhat[k]
+            wc = _kernel_dot(
+                r_of(k, l), q_hat, prec_b,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+            )
+            w_contrib[l] = wc if w_contrib[l] is None else w_contrib[l] + wc
+            r_hat = _kernel_dot(W(l), q_hat, prec_b)[: dims[l][1]]
+            if l < L - 1:
+                s_hat[k][l] = r_hat * carries[k][l + 1]
+                carries[k][l + 1] = None  # liveness handoff, as in seq
+                carryhat[k] = r_hat * s32(k, l)
+            else:
+                r_hat_last[k] = r_hat
+
+    # ---- phase 4: descend
+    a_hat = [None] * K
+    for l in reversed(range(L)):
+        for k in range(K):
+            if l == L - 1:
+                z_hat = ubars[k] * dy[k]
+                if cfg.udf_type == "square":
+                    z_hat = z_hat + r_hat_last[k] * (2.0 / cfg.scale)
+            else:
+                z_hat = a_hat[k] * s32(k, l) + s_hat[k][l] * (
+                    100.0 * s32(k, l) * (1.0 - s32(k, l))
+                )
+            w_contrib[l] = w_contrib[l] + _kernel_dot(
+                z_hat, u_of(k, l), prec_b,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+            )
+            bc = jnp.sum(z_hat, axis=1, keepdims=True)
+            b_contrib[l] = bc if b_contrib[l] is None else b_contrib[l] + bc
+            if l > 0:
+                u_hat = dotT(l, z_hat, prec_b)
+                a_hat[k] = (
+                    u_hat[:-d0, :] * _INV_SQRT2 if l in cfg.skip_in else u_hat
+                )
+
+    wbar = jnp.concatenate(
+        [pad_rows(w, row_max) for w in w_contrib], axis=1
+    )
+    bbar = jnp.concatenate(
+        [pad_rows(b, row_max) for b in b_contrib], axis=1
+    )
+    return wbar, bbar
+
+
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "tile", "interpret", "fuse_pe", "chain_split"))
 def _pallas_train_bwd(x_T, w_pack, b_pack, ubar, gbar, cfg: UDFConfig,
@@ -281,6 +437,24 @@ def _pallas_train_bwd(x_T, w_pack, b_pack, ubar, gbar, cfg: UDFConfig,
         if chain_split == 1:
             wbar, bbar = _tile_math(
                 x_ref[...], w_ref, b_ref, ub_ref[...], gb_ref[...]
+            )
+        elif cfg.chain_mode == "interleave":
+            # layer-major interchange: per layer, the K sub-tiles' dots
+            # issue back-to-back (data-independent consecutive MXU passes);
+            # see _train_bwd_math_interleaved
+            sub = tile // chain_split
+            xs, ubs, gbs = [], [], []
+            for k in range(chain_split):
+                sl = slice(k * sub, (k + 1) * sub)
+                xk, gk = x_ref[:, sl], gb_ref[:, sl]
+                if fuse_pe:
+                    xk, uf = _encode_fused(xk, cfg)
+                    gk = _pe_jacT_fused(uf, gk, cfg)
+                xs.append(xk)
+                ubs.append(ub_ref[:, sl])
+                gbs.append(gk)
+            wbar, bbar = _train_bwd_math_interleaved(
+                xs, w_ref, b_ref, ubs, gbs, cfg
             )
         else:
             # cross-pass pipelining experiment: carve the tile into

@@ -95,6 +95,11 @@ def build_conf(
                     # shipped production default (ON); E2E_FUSE_PE=0
                     # restores the pre-flip XLA-side PE path.
                     "fuse_pe": os.environ.get("E2E_FUSE_PE", "1") == "1",
+                    # Sub-chain scheduling knobs (kernels/mlp_train.py);
+                    # defaults match production (split off).
+                    "chain_split": int(os.environ.get("E2E_CHAIN_SPLIT",
+                                                      "1")),
+                    "chain_mode": os.environ.get("E2E_CHAIN_MODE", "seq"),
                 },
                 "variance_network": {"init_val": 0.3},
                 "beta_network": {

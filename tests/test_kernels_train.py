@@ -105,22 +105,39 @@ class TestTrainKernelGrads:
         _, g_k = jax.jit(jax.value_and_grad(l_ker))(params)
         assert _max_rel_err(g_k, g_x) < 3e-4
 
-    @pytest.mark.parametrize("fuse_pe,chain_split",
-                             [(True, 1), (False, 2), (True, 2)])
+    @pytest.mark.parametrize(
+        "fuse_pe,chain_split,chain_mode",
+        [(True, 1, "seq"), (False, 2, "seq"), (True, 2, "seq"),
+         (False, 2, "interleave"), (True, 2, "interleave")])
     def test_fuse_pe_and_chain_split_match_autodiff(self, fuse_pe,
-                                                    chain_split):
+                                                    chain_split, chain_mode):
         """The in-kernel PE encode/Jacobian (blocked layout + permuted
-        weight columns) and the chain_split pipelining carve-up reproduce
-        the pure-JAX second-order grads to f32 roundoff — both knobs are
-        pure scheduling/layout changes, not approximations."""
+        weight columns) and the chain_split sub-chain carve-up — in both
+        the sequential and the layer-interleaved scheduling — reproduce
+        the pure-JAX second-order grads to f32 roundoff: all three knobs
+        are pure scheduling/layout changes, not approximations."""
         cfg = UDFConfig(d_hidden=64, n_layers=8, multires=6,
                         precision="highest", fuse_pe=fuse_pe,
-                        chain_split=chain_split)
+                        chain_split=chain_split, chain_mode=chain_mode)
         l_xla, l_ker, params = _loss_pair(cfg, N=256, tile=256)
         v_x, g_x = jax.jit(jax.value_and_grad(l_xla))(params)
         v_k, g_k = jax.jit(jax.value_and_grad(l_ker))(params)
         assert float(jnp.abs(v_x - v_k)) < 1e-4 * (1 + abs(float(v_x)))
         assert _max_rel_err(g_k, g_x) < 3e-4
+
+    def test_interleave_matches_seq_closely(self):
+        """Interleaved scheduling issues the SAME dots on the SAME operands
+        as the sequential sub-chains — only accumulation order differs, so
+        the grads agree far tighter than either agrees with XLA autodiff."""
+        base = dict(d_hidden=64, n_layers=8, multires=6, fuse_pe=True,
+                    precision="highest", chain_split=2)
+        _, l_seq, params = _loss_pair(UDFConfig(**base, chain_mode="seq"),
+                                      N=256, tile=256)
+        _, l_il, _ = _loss_pair(UDFConfig(**base, chain_mode="interleave"),
+                                N=256, tile=256)
+        g_seq = jax.jit(jax.grad(l_seq))(params)
+        g_il = jax.jit(jax.grad(l_il))(params)
+        assert _max_rel_err(g_il, g_seq) < 1e-6
 
 
 @pytest.fixture(scope="module")
