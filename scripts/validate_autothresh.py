@@ -26,6 +26,11 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+if os.environ.get("AT_PLATFORM"):  # e.g. cpu during tunnel outages — must
+    import jax                     # win over the axon sitecustomize
+
+    jax.config.update("jax_platforms", os.environ["AT_PLATFORM"])
+
 import numpy as np  # noqa: E402
 
 from e2e_synthetic import build_conf, score_extraction  # noqa: E402
