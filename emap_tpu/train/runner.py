@@ -592,8 +592,11 @@ class Runner:
         each candidate is extracted and scored against the observed 2D edge
         maps (extract/autothresh.py), the argmax wins, and the per-candidate
         table lands in results/threshold_selection.json. udf_threshold is
-        ignored in that mode. The dense grid pass re-runs per candidate;
-        at production 256^3 that is ~10 s per extra candidate (BASELINE.md).
+        ignored in that mode. All candidates share ONE dense grid + feature
+        + shift pass (extract_pointcloud_multi — the membership tests are
+        the only threshold-dependent step); measured 5.78x faster than the
+        per-candidate re-runs at the DTU 256^3 protocol with K=6
+        (parity_results/bench_extract_multi.json).
 
         platform (no reference counterpart — the reference is
         single-platform, extract_pointcloud.py:36-88): a non-empty jax
@@ -669,12 +672,42 @@ class Runner:
                 build_probe_points,
                 select_udf_threshold,
             )
+            from emap_tpu.extract.pointcloud import extract_pointcloud_multi
+
+            # one shared grid + feature + shift pass serves every candidate
+            # (the per-point device math is threshold-independent; only the
+            # membership tests differ) — 5.78x vs per-candidate re-runs at
+            # the DTU 256^3 K=6 protocol. Candidate point sets are bit-equal
+            # to standalone runs (tests/test_extract.py::TestExtractMulti);
+            # only the line-direction jitter draw differs by batch layout,
+            # the same re-roll class as the documented platform spread.
+            multi = extract_pointcloud_multi(
+                self.state.params["udf"],
+                self.ucfg,
+                resolution=resolution,
+                thresholds=list(auto_threshold),
+                sampling_N=sampling_N,
+                sampling_delta=sampling_delta,
+                is_pointshift=is_pointshift,
+                iters=iters,
+                is_linedirection=is_linedirection,
+            )
 
             cache: dict[float, tuple] = {}
 
             def edge_dict_at(thr: float) -> dict:
-                cache[thr] = extract_at(thr)
-                return cache[thr][3]
+                points, line_dirs = multi[float(thr)]
+                ld_colors = (line_dirs + 1.0) / 2.0
+                pred_points, edge_dict = get_parametric_edge(
+                    points,
+                    ld_colors,
+                    resolution,
+                    self.scene.detector,
+                    self.scene.data_dir,
+                    visible_checking=visible_checking,
+                )
+                cache[thr] = (points, ld_colors, pred_points, edge_dict)
+                return edge_dict
 
             # the field's own certified zero set stands in for GT when
             # ranking candidates (autothresh.pick_candidate)
