@@ -304,7 +304,8 @@ def select_udf_threshold(
 
 
 def pick_candidate(rows: list, veto_frac: float = 0.8,
-                   default_thr: float | None = None) -> int:
+                   default_thr: float | None = None,
+                   frag_tie_delta: float = 0.1) -> int:
     """THE selection rule (one place; the validation driver imports it).
 
     Rank by f3d — the probe pseudo-F at the eval protocol's own 5 mm radius,
@@ -316,7 +317,20 @@ def pick_candidate(rows: list, veto_frac: float = 0.8,
     f3d ranking must be allowed to override. On the three diagnosed 50k
     checkpoints this rule picks the GT-oracle-best threshold for every seed
     (mean F@5mm 0.635 → 0.717, zero regret); multiplying f3d*f2d instead
-    loses seed 3's win to a 5% f2d dip. Rows without f3d rank by f2d."""
+    loses seed 3's win to a 5% f2d dip. Rows without f3d rank by f2d.
+
+    frag_tie_delta: f3d NEAR-ties (within this relative margin of the max)
+    are resolved toward the LEAST FRAGMENTED candidate (min n_lines +
+    n_curves; the probe pseudo-F cannot see fragmentation — a point cloud
+    split into 70 short lines scores the same f3d as 26 clean ones, but
+    the fit-stage fragmentation is the documented GT-F@5mm killer). The
+    r4 production suite produced the motivating miss: seed 3's f3d ranked
+    0.04 (70+12 fragments, GT 0.6396) 6.7% above 0.02 (26+8, GT 0.8086).
+    Replayed over all 30 archived score tables the rule changes exactly
+    that one pick (0.04 → 0.03, GT 0.6396 → 0.6984), keeps 28/30 oracle
+    hits, and cuts mean regret 0.0067 → 0.0048; the gain plateaus for
+    delta in [0.075, 0.15] (tests/test_autothresh_regret.py replays the
+    tally). Skipped when rows lack fragment counts (pre-r4 tables)."""
     if not rows:
         raise ValueError("pick_candidate needs at least one row")
     if "f3d" not in rows[0]:
@@ -339,4 +353,13 @@ def pick_candidate(rows: list, veto_frac: float = 0.8,
         # probe): no signal here either — anchor to the conf threshold
         return min(eligible,
                    key=lambda i: abs(rows[i]["udf_threshold"] - default_thr))
-    return max(eligible, key=lambda i: (rows[i]["f3d"], -i))
+    best = max(eligible, key=lambda i: (rows[i]["f3d"], -i))
+    f3d_best = rows[best]["f3d"]
+    if (frag_tie_delta and f3d_best > 0
+            and all("n_lines" in rows[i] and "n_curves" in rows[i]
+                    for i in eligible)):
+        ties = [i for i in eligible
+                if rows[i]["f3d"] >= (1.0 - frag_tie_delta) * f3d_best]
+        best = min(ties, key=lambda i: (
+            rows[i]["n_lines"] + rows[i]["n_curves"], -rows[i]["f3d"]))
+    return best

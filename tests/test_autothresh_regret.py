@@ -10,10 +10,16 @@ per-candidate score table. The tables carry both the selector's inputs
 the SELECTION RULE can be replayed offline: feed each table back through
 `pick_candidate` and tally hits/regret against the oracle.
 
-This pins the recorded 22/23 oracle tally (one documented 0.033 miss,
-rings-8k seed 42, where the top two f3d scores sit 0.002 apart on a
-694-point probe) so future edits to `pick_candidate` cannot silently
-regress the selector on checkpoints that no longer exist to re-extract.
+This pins the recorded 28/30 oracle tally — two documented misses:
+rings-8k seed 42 (0.033; top two f3d scores 0.002 apart on a 694-point
+probe) and production-suite-r4 seed 3 (0.110 after the fragment
+tie-break, 0.169 before it; the f3d probe metric cannot see the
+fit-stage over-fragmentation that separates the GT scores) — so future
+edits to `pick_candidate` cannot silently regress the selector on
+checkpoints that no longer exist to re-extract. It also pins the
+fragment near-tie rule's measured effect: exactly one pick changes
+across the 30 tables (prod_r4 seed 3, 0.04 → 0.03) and mean regret
+drops 0.0067 → 0.0048.
 
 Fixture snapshots: tests/fixtures/autothresh_tables/ (copied verbatim from
 the run artifacts named in each DEFAULT_THR entry; the fixed default
@@ -42,13 +48,14 @@ DEFAULT_THR = {
     "replica200k_ext.json": 0.01,   # parity_results/autothresh_replica200k_ext
     "dtu200k_s7.json": 0.015,       # e2e_dtu200k_s7/report.json (fresh seed)
     "replica200k_s7.json": 0.01,    # e2e_replica200k_s7/report.json
+    "prod_r4.json": 0.02,           # prod_suite_r4/autothresh_prod.json
 }
 
 # the recorded tally this test protects (BASELINE.md selector sections)
-EXPECTED_CHECKPOINTS = 25
-EXPECTED_MIN_HITS = 24
-EXPECTED_MAX_MEAN_REGRET = 0.0015
-EXPECTED_MAX_SINGLE_REGRET = 0.034  # the documented rings-8k s42 miss
+EXPECTED_CHECKPOINTS = 30
+EXPECTED_MIN_HITS = 28
+EXPECTED_MAX_MEAN_REGRET = 0.0049
+EXPECTED_MAX_SINGLE_REGRET = 0.111  # the documented prod_r4 s3 miss
 
 
 def _replay():
@@ -80,6 +87,20 @@ def test_oracle_regret_tally():
     assert hits >= EXPECTED_MIN_HITS, (hits, detail)
     assert mean_regret <= EXPECTED_MAX_MEAN_REGRET, (mean_regret, detail)
     assert max_regret <= EXPECTED_MAX_SINGLE_REGRET, (max_regret, detail)
+
+
+def test_fragment_tiebreak_seed3():
+    """The motivating case: prod_r4 seed 3's f3d argmax is the
+    over-fragmented 0.04 (70+12 primitives, GT 0.6396); the fragment
+    near-tie rule moves the pick to 0.03 (27+6, GT 0.6984). Disabling
+    the rule must reproduce the old argmax."""
+    with open(os.path.join(FIXTURES, "prod_r4.json")) as f:
+        table = json.load(f)
+    rows = next(r for r in table["results"] if r["seed"] == 3)["rows"]
+    i_new = pick_candidate(rows, default_thr=0.02)
+    i_old = pick_candidate(rows, default_thr=0.02, frag_tie_delta=0.0)
+    assert rows[i_new]["udf_threshold"] == 0.03
+    assert rows[i_old]["udf_threshold"] == 0.04
 
 
 def test_known_picks_stable():
