@@ -108,6 +108,9 @@ def main(argv=None) -> None:
             # "" = session backend; "cpu" pins extraction to a canonical
             # backend for cross-machine reproducibility (runner.extract_edge)
             platform=ee.get_string("platform", ""),
+            # >1 = best-of-K fit draws ranked by the GT-free probe scorer
+            # (runner.extract_edge fit_draws)
+            fit_draws=ee.get_int("fit_draws", 1),
         )
 
 

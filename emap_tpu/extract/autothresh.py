@@ -268,7 +268,7 @@ def score_edges_3d(
 
 
 def select_udf_threshold(
-    extract_at: Callable[[float], dict],
+    extract_at: Callable[..., dict],
     candidates: Sequence[float],
     data_dir: str,
     detector: str,
@@ -276,31 +276,52 @@ def select_udf_threshold(
     probe_points: np.ndarray | None = None,
     veto_frac: float = 0.8,
     default_thr: float | None = None,
+    fit_seeds: Sequence[int] | None = None,
 ) -> tuple[float, dict, list[dict]]:
     """Run `extract_at(thr)` for every candidate, score each, and return
     (best_thr, best_edge_dict, rows) where rows is the per-candidate score
     table (ties break toward the smaller threshold, i.e. the first argmax).
+    The winning row is marked `"picked": True`.
 
     With `probe_points` (build_probe_points), the pick is pick_candidate's
     f3d-primary rule; without, it falls back to argmax f2d alone (coarse —
     the 2D score saturates once every candidate reprojects within match_px,
     validated mean F@5mm 0.635→0.697 for 2D-only vs 0.717 for the probe
-    rule on the diagnosed checkpoints, diag_seeds/autothresh_validation)."""
+    rule on the diagnosed checkpoints, diag_seeds/autothresh_validation).
+
+    fit_seeds (no reference counterpart): a non-empty list widens the
+    candidate set to the (threshold x fit-seed) grid — `extract_at` is
+    called as extract_at(thr, seed) and must re-run the CHAOTIC host fit
+    stage (greedy polyline growth + RANSAC; reference
+    edge_fitting/main.py:93-228 seeds everything from 42) with that seed
+    on the threshold's fixed point cloud. Rows gain a "fit_seed" key and
+    pick_candidate ranks draws exactly like thresholds. Measured on 6
+    committed stage-3 clouds x 8 seeds (scripts/fit_draws_diag.py): the
+    within-cloud GT-F@5mm band is ±0.06 (the documented extraction
+    re-roll band lives in the fit, not the field), probe-f3d/GT-F@5
+    Spearman is positive on all 6, and the picker's regret vs the oracle
+    draw is 0 on 4/6 (mean F@5 0.487 fixed-seed → 0.507 picked → 0.516
+    oracle)."""
     rows, dicts = [], []
-    for thr in candidates:
-        edge_dict = extract_at(float(thr))
+    grid = [(float(t), None) for t in candidates] if not fit_seeds else [
+        (float(t), int(s)) for t in candidates for s in fit_seeds]
+    for thr, seed in grid:
+        edge_dict = (extract_at(thr) if seed is None
+                     else extract_at(thr, seed))
         score = score_edges_2d(edge_dict, data_dir, detector, match_px)
         if probe_points is not None:
             score = {**score, **score_edges_3d(edge_dict, probe_points)}
         rows.append({
-            "udf_threshold": float(thr),
+            "udf_threshold": thr,
+            **({} if seed is None else {"fit_seed": seed}),
             "n_curves": len(edge_dict["curves_ctl_pts"]),
             "n_lines": len(edge_dict["lines_end_pts"]),
             **score,
         })
         dicts.append(edge_dict)
     best = pick_candidate(rows, veto_frac, default_thr=default_thr)
-    return float(candidates[best]), dicts[best], rows
+    rows[best]["picked"] = True
+    return rows[best]["udf_threshold"], dicts[best], rows
 
 
 def pick_candidate(rows: list, veto_frac: float = 0.8,

@@ -584,8 +584,21 @@ class Runner:
         visible_checking: bool = False,
         auto_threshold: "list[float] | None" = None,
         platform: str = "",
+        fit_draws: int = 1,
     ) -> dict:
         """Extract parametric edges from the trained UDF.
+
+        fit_draws (no reference counterpart): >1 re-runs the chaotic host
+        fit stage (polyline growth + RANSAC, reference
+        edge_fitting/main.py:93-228 — fixed seed 42 upstream) that many
+        times per threshold with distinct seeds on the SAME point cloud,
+        and lets the GT-free probe scorer rank the draws exactly like
+        thresholds (autothresh.select_udf_threshold fit_seeds). Hedges the
+        documented ±0.1 F@5mm extraction re-roll band, which lives in the
+        fit (scripts/fit_draws_diag.py: within-cloud band ±0.06, picker
+        regret 0 on 4/6 committed clouds). Works with or without
+        auto_threshold; only the fit+scoring cost scales with K (the dense
+        grid pass is shared).
 
         auto_threshold (no reference counterpart): a non-empty list of
         candidate udf_thresholds switches on GT-free threshold selection —
@@ -625,7 +638,7 @@ class Runner:
             return self._extract_edge_impl(
                 resolution, udf_threshold, sampling_N, sampling_delta,
                 is_pointshift, iters, is_linedirection, visible_checking,
-                auto_threshold,
+                auto_threshold, fit_draws,
             )
 
     def _extract_edge_impl(
@@ -639,6 +652,7 @@ class Runner:
         is_linedirection: bool,
         visible_checking: bool,
         auto_threshold: "list[float] | None",
+        fit_draws: int = 1,
     ) -> dict:
 
         def extract_at(thr: float):
@@ -667,12 +681,23 @@ class Runner:
         result_dir = os.path.join(self.base_exp_dir, "results")
         os.makedirs(result_dir, exist_ok=True)
 
-        if auto_threshold:
+        if auto_threshold or fit_draws > 1:
             from emap_tpu.extract.autothresh import (
                 build_probe_points,
                 select_udf_threshold,
             )
             from emap_tpu.extract.pointcloud import extract_pointcloud_multi
+
+            # fit_draws>1 without auto_threshold still routes through the
+            # selector machinery: one candidate threshold, K fit draws
+            candidates = (list(auto_threshold) if auto_threshold
+                          else [udf_threshold])
+            # 42 first so draw 0 IS the reference's fixed fit
+            # (edge_fitting/main.py seeds everything from 42); extra draws
+            # use small deterministic seeds, same roster the measurement
+            # used (scripts/fit_draws_diag.py FD_SEEDS)
+            fit_seeds = ([42] + list(range(int(fit_draws) - 1))
+                         if fit_draws > 1 else None)
 
             # one shared grid + feature + shift pass serves every candidate
             # (the per-point device math is threshold-independent; only the
@@ -685,7 +710,7 @@ class Runner:
                 self.state.params["udf"],
                 self.ucfg,
                 resolution=resolution,
-                thresholds=list(auto_threshold),
+                thresholds=candidates,
                 sampling_N=sampling_N,
                 sampling_delta=sampling_delta,
                 is_pointshift=is_pointshift,
@@ -693,9 +718,9 @@ class Runner:
                 is_linedirection=is_linedirection,
             )
 
-            cache: dict[float, tuple] = {}
+            cache: dict[tuple, tuple] = {}
 
-            def edge_dict_at(thr: float) -> dict:
+            def edge_dict_at(thr: float, seed: int = 42) -> dict:
                 points, line_dirs = multi[float(thr)]
                 ld_colors = (line_dirs + 1.0) / 2.0
                 pred_points, edge_dict = get_parametric_edge(
@@ -705,8 +730,10 @@ class Runner:
                     self.scene.detector,
                     self.scene.data_dir,
                     visible_checking=visible_checking,
+                    seed=seed,
                 )
-                cache[thr] = (points, ld_colors, pred_points, edge_dict)
+                cache[(thr, seed)] = (
+                    points, ld_colors, pred_points, edge_dict)
                 return edge_dict
 
             # the field's own certified zero set stands in for GT when
@@ -715,13 +742,13 @@ class Runner:
                 self.state.params["udf"],
                 self.ucfg,
                 resolution,
-                loose_threshold=max(auto_threshold),
+                loose_threshold=max(candidates),
                 sampling_N=sampling_N,
                 sampling_delta=sampling_delta,
             )
             best_thr, _, rows = select_udf_threshold(
                 edge_dict_at,
-                list(auto_threshold),
+                candidates,
                 self.scene.data_dir,
                 self.scene.detector,
                 # signal-free fallback anchor (pick_candidate): the conf's
@@ -734,16 +761,23 @@ class Runner:
                 # (ADVICE r3) — both cases rank by the 2D score + conf
                 # anchor instead of a noise-driven f3d argmax
                 probe_points=probe if len(probe) >= 64 else None,
+                fit_seeds=fit_seeds,
             )
-            points, ld_colors, pred_points, edge_dict = cache[best_thr]
+            picked_row = next(r for r in rows if r.get("picked"))
+            picked_seed = picked_row.get("fit_seed", 42)
+            points, ld_colors, pred_points, edge_dict = cache[
+                (best_thr, picked_seed)]
             with open(
                 os.path.join(result_dir, "threshold_selection.json"), "w"
             ) as f:
                 json.dump(
-                    {"picked": best_thr, "candidates": rows}, f, indent=1
+                    {"picked": best_thr, "picked_fit_seed": picked_seed,
+                     "fit_draws": fit_draws, "candidates": rows},
+                    f, indent=1,
                 )
             logger.info(
-                "auto_threshold picked %.3g from %s", best_thr, auto_threshold
+                "auto_threshold picked %.3g from %s (fit draw %d of %d)",
+                best_thr, candidates, picked_seed, max(fit_draws, 1),
             )
         else:
             points, ld_colors, pred_points, edge_dict = extract_at(

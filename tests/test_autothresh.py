@@ -185,6 +185,42 @@ def test_selector_with_probe_ranks_by_f3d(cube_scene):
     assert thr == 0.03 and best is candidates[0.03]
     assert rows[1]["f3d"] > 0.9 and rows[0]["f3d"] < 0.2
     assert all("f2d" in r for r in rows)
+    # the winning row is marked
+    assert rows[1].get("picked") is True and "picked" not in rows[0]
+
+
+def test_selector_fit_seeds_ranks_draws(cube_scene):
+    """fit_seeds widens the candidate grid to (threshold x draw) and the
+    probe ranking picks the best DRAW, not just the best threshold — the
+    machinery behind extract_edge(fit_draws=K), measured in
+    scripts/fit_draws_diag.py (no reference counterpart; the reference fit
+    is one fixed-seed roll, edge_fitting/main.py)."""
+    from emap_tpu.data.synthetic import sample_cube_edge_points
+    from emap_tpu.extract.autothresh import select_udf_threshold
+
+    probe = sample_cube_edge_points(0.5, spacing=0.005)
+    good = _edge_dict(cube_edges(0.5))
+    bad = _edge_dict(cube_edges(0.5) + np.array([0.008, 0.008, 0.008]))
+    # threshold 0.02: seed 42 rolls the displaced fit, seed 0 the true one;
+    # threshold 0.03: both draws displaced. Best cell is (0.02, seed 0).
+    grid = {(0.02, 42): bad, (0.02, 0): good,
+            (0.03, 42): bad, (0.03, 0): bad}
+    calls = []
+
+    def extract_at(t, s):
+        calls.append((round(t, 2), s))
+        return grid[(round(t, 2), s)]
+
+    thr, best, rows = select_udf_threshold(
+        extract_at, [0.02, 0.03], cube_scene, "DexiNed",
+        probe_points=probe, fit_seeds=[42, 0],
+    )
+    assert calls == [(0.02, 42), (0.02, 0), (0.03, 42), (0.03, 0)]
+    assert thr == 0.02 and best is good
+    assert [r["fit_seed"] for r in rows] == [42, 0, 42, 0]
+    picked = [r for r in rows if r.get("picked")]
+    assert len(picked) == 1 and picked[0]["fit_seed"] == 0
+    assert picked[0]["f3d"] == max(r["f3d"] for r in rows)
 
 
 # ---------------------------------------------------------------------------

@@ -103,6 +103,32 @@ def test_fragment_tiebreak_seed3():
     assert rows[i_old]["udf_threshold"] == 0.04
 
 
+def test_fit_draw_regret_tally():
+    """Separate tally for the FIT-DRAW selection tables (fit_draws_rings:
+    one fixed threshold x 8 fit seeds per committed stage-3 cloud,
+    scripts/fit_draws_diag.py) — pick_candidate ranks draws exactly like
+    thresholds, and this pins the measured result behind the
+    extract_edge(fit_draws=K) knob: regret 0 on 4/6 clouds, mean 0.0088,
+    worst 0.0343, and the picked draw never lands below the fixed-seed-42
+    roll by more than noise (the knob must hedge the band, not widen it)."""
+    with open(os.path.join(FIXTURES, "fit_draws_rings.json")) as f:
+        table = json.load(f)
+    regrets, vs_fixed = [], []
+    for res in table["results"]:
+        rows = res["rows"]
+        i = pick_candidate(rows, default_thr=table["default_threshold"])
+        f5 = [r["f5_gt"] for r in rows]
+        fixed = next(r["f5_gt"] for r in rows if r["fit_seed"] == 42)
+        regrets.append(max(f5) - f5[i])
+        vs_fixed.append(f5[i] - fixed)
+    assert len(regrets) == 6
+    assert sum(1 for r in regrets if r < 1e-9) >= 4, regrets
+    assert sum(regrets) / len(regrets) <= 0.0089, regrets
+    assert max(regrets) <= 0.035, regrets
+    assert min(vs_fixed) >= -0.02, vs_fixed
+    assert sum(vs_fixed) / len(vs_fixed) > 0.0, vs_fixed
+
+
 def test_known_picks_stable():
     """The landmark picks called out in BASELINE.md must not move: the
     200k extended-menu runs pick 0.005 (below the original bracket), and

@@ -251,6 +251,60 @@ def test_extract_edge_auto_threshold(runner_conf, tmp_path):
     )
 
 
+def test_extract_edge_fit_draws(runner_conf, tmp_path):
+    """fit_draws=K re-rolls the chaotic host fit K times per threshold and
+    the probe scorer picks a draw (runner.extract_edge fit_draws; measured
+    basis scripts/fit_draws_diag.py). Covers both the auto_threshold x
+    draws grid and the fixed-threshold best-of-K path."""
+    from emap_tpu.train.runner import Runner
+
+    conf = config.Config(json.loads(json.dumps(runner_conf.as_dict())))
+    conf["general"]["base_exp_dir"] = str(tmp_path / "exp_draws")
+    runner = Runner(conf, mode="train")
+    runner.save_checkpoint(0.0)
+
+    # grid mode: 2 thresholds x 2 draws
+    edge_dict = runner.extract_edge(
+        resolution=16, udf_threshold=0.2, sampling_N=8, sampling_delta=0.01,
+        is_pointshift=True, iters=1, is_linedirection=True,
+        visible_checking=False, auto_threshold=[0.2, 0.3], fit_draws=2,
+    )
+    results = os.path.join(runner.base_exp_dir, "results")
+    with open(os.path.join(results, "threshold_selection.json")) as f:
+        sel = json.load(f)
+    rows = sel["candidates"]
+    assert [(r["udf_threshold"], r["fit_seed"]) for r in rows] == [
+        (0.2, 42), (0.2, 0), (0.3, 42), (0.3, 0)]
+    assert sel["fit_draws"] == 2 and sel["picked_fit_seed"] in (42, 0)
+    picked = [r for r in rows if r.get("picked")]
+    assert len(picked) == 1
+    assert picked[0]["udf_threshold"] == sel["picked"]
+    assert picked[0]["fit_seed"] == sel["picked_fit_seed"]
+    with open(os.path.join(results, "parametric_edges.json")) as f:
+        assert json.load(f) == edge_dict
+
+    # fixed-threshold mode: no auto_threshold, still best-of-K
+    conf2 = config.Config(json.loads(json.dumps(runner_conf.as_dict())))
+    conf2["general"]["base_exp_dir"] = str(tmp_path / "exp_draws_fixed")
+    runner2 = Runner(conf2, mode="train")
+    runner2.save_checkpoint(0.0)
+    edge_dict2 = runner2.extract_edge(
+        resolution=16, udf_threshold=0.2, sampling_N=8, sampling_delta=0.01,
+        is_pointshift=True, iters=1, is_linedirection=True,
+        visible_checking=False, auto_threshold=None, fit_draws=2,
+    )
+    with open(os.path.join(
+            runner2.base_exp_dir, "results", "threshold_selection.json")
+            ) as f:
+        sel2 = json.load(f)
+    assert [(r["udf_threshold"], r["fit_seed"])
+            for r in sel2["candidates"]] == [(0.2, 42), (0.2, 0)]
+    assert sel2["picked"] == 0.2
+    with open(os.path.join(
+            runner2.base_exp_dir, "results", "parametric_edges.json")) as f:
+        assert json.load(f) == edge_dict2
+
+
 def test_extract_edge_auto_threshold_half_trained(runner_conf, tmp_path):
     """Adversarial selector stress (VERDICT r2 item 5): a half-trained field
     (10 steps — far from converged, zero set still sphere-dominated) must
