@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
@@ -78,7 +79,14 @@ def main() -> None:
                 runner.scene.data_dir,
                 visible_checking=ee.get_bool("visible_checking"), seed=s,
             )
-            gt = score_extraction(runner.base_exp_dir, edge_dict, OBJ)
+            # score_extraction reads results/parametric_edges.json from
+            # disk — stage each cell's dict in a throwaway dir
+            with tempfile.TemporaryDirectory() as tmp:
+                os.makedirs(os.path.join(tmp, "results"), exist_ok=True)
+                with open(os.path.join(tmp, "results",
+                                       "parametric_edges.json"), "w") as f:
+                    json.dump(edge_dict, f)
+                gt = score_extraction(tmp, edge_dict, OBJ)
             row = {
                 "udf_threshold": thr,
                 "fit_seed": s,
