@@ -353,13 +353,22 @@ def pick_candidate_draws(rows: list, veto_frac: float = 0.8,
     best = pick_candidate(rows, veto_frac, default_thr=default_thr)
     if rows[best].get("fit_seed", anchor_seed) != anchor_seed:
         anchor = next(
-            i for i, r in enumerate(rows)
-            if r["udf_threshold"] == rows[best]["udf_threshold"]
-            and r.get("fit_seed") == anchor_seed
+            (i for i, r in enumerate(rows)
+             if r["udf_threshold"] == rows[best]["udf_threshold"]
+             and r.get("fit_seed") == anchor_seed),
+            None,
         )
-        if ("f3d" not in rows[best]
-                or rows[best]["f3d"]
-                < (1.0 + draw_margin) * rows[anchor]["f3d"]):
+        # The margin guard arbitrates within-threshold f3d NOISE between
+        # draws; it must not resurrect a draw the gross-failure veto gate
+        # killed (phantom 3D structure craters f2d — see pick_candidate).
+        # Revert only to a veto-ELIGIBLE anchor; with no eligible anchor
+        # row at the winning threshold, keep the unguarded winner.
+        f2d_max = max(r.get("f2d", 0.0) for r in rows)
+        if (anchor is not None
+                and rows[anchor].get("f2d", 0.0) >= veto_frac * f2d_max
+                and ("f3d" not in rows[best]
+                     or rows[best]["f3d"]
+                     < (1.0 + draw_margin) * rows[anchor]["f3d"])):
             best = anchor
     return best
 

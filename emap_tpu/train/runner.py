@@ -696,7 +696,8 @@ class Runner:
             # (edge_fitting/main.py seeds everything from 42); extra draws
             # use small deterministic seeds, same roster the measurement
             # used (scripts/fit_draws_diag.py FD_SEEDS)
-            fit_seeds = ([42] + list(range(int(fit_draws) - 1))
+            fit_seeds = ([42] + [s for s in range(int(fit_draws))
+                                 if s != 42][:int(fit_draws) - 1]
                          if fit_draws > 1 else None)
 
             # one shared grid + feature + shift pass serves every candidate
@@ -776,7 +777,9 @@ class Runner:
                     f, indent=1,
                 )
             logger.info(
-                "auto_threshold picked %.3g from %s (fit draw %d of %d)",
+                "%s picked %.3g from %s (fit seed %d, %d draws)",
+                "auto_threshold" if auto_threshold
+                else "fit_draws at fixed threshold",
                 best_thr, candidates, picked_seed, max(fit_draws, 1),
             )
         else:

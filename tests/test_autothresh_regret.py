@@ -175,3 +175,55 @@ def test_known_picks_stable():
             assert r["picked_thr"] == 0.005, r
         if r["table"] == "rings50k.json":
             assert r["picked_thr"] == 0.04, r
+
+
+def test_draw_guard_respects_veto_gate():
+    """ADVICE r4 (medium): the anchor-revert guard must not resurrect a
+    draw the gross-failure veto gate killed. Constructed case: the anchor
+    draw at the winning threshold has f2d below veto_frac*f2d_max
+    (phantom 3D structure) yet a higher f3d than the eligible sibling —
+    the old guard reverted to it, inverting the veto's contract. The fix
+    keeps the unguarded (eligible) winner."""
+    from emap_tpu.extract.autothresh import pick_candidate_draws
+
+    rows = [
+        {"udf_threshold": 0.02, "fit_seed": 42, "f2d": 0.5, "f3d": 0.9,
+         "n_lines": 10, "n_curves": 2},
+        {"udf_threshold": 0.02, "fit_seed": 0, "f2d": 1.0, "f3d": 0.5,
+         "n_lines": 10, "n_curves": 2},
+    ]
+    i = pick_candidate_draws(rows, veto_frac=0.8, default_thr=0.02)
+    assert rows[i]["fit_seed"] == 0, rows[i]
+
+    # eligible anchor (f2d within the gate): guard still reverts as before
+    rows[0]["f2d"] = 0.95
+    i = pick_candidate_draws(rows, veto_frac=0.8, default_thr=0.02)
+    assert rows[i]["fit_seed"] == 42, rows[i]
+
+
+def test_draw_guard_missing_anchor_row():
+    """ADVICE r4 (low): a table without any anchor-seed row at the
+    winning threshold must not raise a bare StopIteration — the guard is
+    simply skipped and the unguarded winner stands."""
+    from emap_tpu.extract.autothresh import pick_candidate_draws
+
+    rows = [
+        {"udf_threshold": 0.02, "fit_seed": 0, "f2d": 1.0, "f3d": 0.7,
+         "n_lines": 10, "n_curves": 2},
+        {"udf_threshold": 0.03, "fit_seed": 1, "f2d": 1.0, "f3d": 0.6,
+         "n_lines": 10, "n_curves": 2},
+    ]
+    i = pick_candidate_draws(rows, default_thr=0.02, anchor_seed=42)
+    assert rows[i]["fit_seed"] == 0
+
+
+def test_fit_seed_roster_no_duplicate_anchor():
+    """ADVICE r4 (low): the generated fit-seed roster must never repeat
+    the anchor seed 42 (a duplicate wastes a full fit+score pass per
+    threshold once fit_draws >= 44)."""
+    for fit_draws in (2, 4, 43, 44, 45, 60):
+        fit_seeds = [42] + [s for s in range(int(fit_draws))
+                            if s != 42][:int(fit_draws) - 1]
+        assert len(fit_seeds) == fit_draws, (fit_draws, fit_seeds)
+        assert len(set(fit_seeds)) == fit_draws, (fit_draws, fit_seeds)
+        assert fit_seeds[0] == 42
