@@ -33,6 +33,14 @@ sys.path.insert(0, REPO)
 
 N_DEV = int(os.environ.get("MCF_DEVICES", "8"))
 N_STEPS = int(os.environ.get("MCF_STEPS", "3"))
+# phase D: sharded extraction equivalence at production resolution on a
+# production checkpoint (VERDICT r4 item 5). 256 on the 1-core CPU host
+# costs ~1-3 h; set MCF_EXTRACT_RES=0 to skip, or lower for a quick pass.
+EXTRACT_RES = int(os.environ.get("MCF_EXTRACT_RES", "256"))
+EXTRACT_CKPT = os.environ.get(
+    "MCF_EXTRACT_CKPT",
+    "prod_suite_r4/final_s42/exp/00000325/emap/checkpoints/ckpt_best.npz",
+)
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -193,6 +201,70 @@ def main() -> None:
     }
     print("phase C ok: kernel shard_map", n_pts, "pts, grad relerr",
           worst_k, flush=True)
+
+    # ---- phase D: sharded extraction equivalence at production res ------
+    # The r4 sharded-extraction evidence stopped at grid N=24-48 (toy);
+    # this runs the multi-threshold pass (the exact machinery behind the
+    # production selector, extract/pointcloud.py::extract_pointcloud_multi)
+    # at EXTRACT_RES^3 on a production 50k ABC checkpoint, 8-device mesh vs
+    # single device, and asserts per-threshold BIT-EQUAL point sets. Line
+    # directions are excluded by design: their jitter draw is keyed by
+    # batch layout (documented re-roll class, pointcloud.py docstring).
+    ckpt_path = os.path.join(REPO, EXTRACT_CKPT)
+    if EXTRACT_RES and os.path.exists(ckpt_path):
+        t0 = time.time()
+        from emap_tpu.ckpt.native import load_pytree
+        from emap_tpu.extract.pointcloud import extract_pointcloud_multi
+
+        prod_params = load_pytree(ckpt_path)["params"]["udf"]
+        thresholds = [0.02, 0.03, 0.04, 0.05]  # the shipped ABC menu
+        kw = dict(
+            resolution=EXTRACT_RES, thresholds=thresholds,
+            sampling_N=50, sampling_delta=5e-3, is_pointshift=True,
+            iters=2, is_linedirection=True,
+        )
+        single = extract_pointcloud_multi(prod_params, ucfg, **kw)
+        t_single = round(time.time() - t0, 1)
+        t0 = time.time()
+        sharded = extract_pointcloud_multi(
+            prod_params, ucfg, mesh=mesh, **kw
+        )
+        t_sharded = round(time.time() - t0, 1)
+        counts = {}
+        for t in thresholds:
+            p1, _ = single[float(t)]
+            p8, _ = sharded[float(t)]
+            assert p1.shape == p8.shape, (t, p1.shape, p8.shape)
+            np.testing.assert_array_equal(p1, p8)
+            counts[str(t)] = int(len(p1))
+        report["phase_d_sharded_extraction"] = {
+            "resolution": EXTRACT_RES, "thresholds": thresholds,
+            "checkpoint": EXTRACT_CKPT, "points_per_threshold": counts,
+            "bit_equal": True, "wall_s_single": t_single,
+            "wall_s_sharded": t_sharded, "ok": True,
+        }
+        print(f"phase D ok: {EXTRACT_RES}^3 sharded extraction bit-equal, "
+              f"counts {counts}", flush=True)
+    else:
+        report["phase_d_sharded_extraction"] = {
+            "skipped": True,
+            "reason": ("MCF_EXTRACT_RES=0" if not EXTRACT_RES
+                       else f"checkpoint missing: {EXTRACT_CKPT}"),
+        }
+        print("phase D skipped", flush=True)
+
+    # provenance stamp (VERDICT r4 item 5: the r3 JSON was undated)
+    import subprocess
+
+    try:
+        commit = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:  # pragma: no cover
+        commit = "unknown"
+    report["git_commit"] = commit
+    report["date"] = time.strftime("%Y-%m-%d %H:%M:%S")
 
     report["ok"] = True
     with open(os.path.join(REPO, "MULTICHIP_FLAGSHIP.json"), "w") as f:
