@@ -32,6 +32,11 @@ REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+if os.environ.get("AB_PLATFORM"):  # e.g. cpu while the chip is busy with
+    import jax                     # a 200k train — must beat the axon
+                                   # sitecustomize (config wins over env)
+    jax.config.update("jax_platforms", os.environ["AB_PLATFORM"])
+
 from e2e_synthetic import score_extraction  # noqa: E402
 
 RUN_DIR = os.environ.get("AB_DIR", "prod_rings_r5/s42")
