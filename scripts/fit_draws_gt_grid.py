@@ -22,6 +22,11 @@ REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+if os.environ.get("FG_PLATFORM"):  # e.g. cpu while the chip is busy —
+    import jax                     # config wins over the axon sitecustomize
+
+    jax.config.update("jax_platforms", os.environ["FG_PLATFORM"])
+
 import numpy as np  # noqa: E402
 
 from e2e_synthetic import score_extraction  # noqa: E402
