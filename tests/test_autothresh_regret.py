@@ -109,7 +109,8 @@ def _draw_tables():
     seeds) and the live_s3 production cube grid
     (scripts/fit_draws_gt_grid.py, ABC menu x 4 seeds)."""
     out = []
-    for fn in ("fit_draws_rings.json", "fit_draws_cube_grid.json"):
+    for fn in ("fit_draws_rings.json", "fit_draws_cube_grid.json",
+               "fit_draws_dtu200k.json", "fit_draws_replica200k.json"):
         with open(os.path.join(FIXTURES, fn)) as f:
             table = json.load(f)
         for res in table["results"]:
@@ -121,7 +122,7 @@ def _draw_tables():
 def test_fit_draw_regret_tally():
     """Pins the draw-selection rule behind extract_edge(fit_draws=K):
     pick_candidate_draws (pick_candidate + the draw-margin anchor guard)
-    over the 7 archived GT draw-tables. The guard's measured property is
+    over the 9 archived GT draw-tables (6 rings stage-3, the live_s3 cube grid, and the two r5 200k grids). The guard's measured property is
     the contract: the picked draw is NEVER worse than the anchor
     (fixed-seed-42) draw at the picked threshold, with positive mean gain
     — the knob must hedge the fit-chaos band, not widen it. Unguarded
@@ -138,12 +139,17 @@ def test_fit_draw_regret_tally():
                       if r["udf_threshold"] == thr and r["fit_seed"] == 42)
         regrets.append(max(f5) - f5[i])
         vs_anchor.append(f5[i] - anchor)
-    assert len(regrets) == 7
+    assert len(regrets) == 9
     # never worse than the anchor draw at the picked threshold
     assert min(vs_anchor) >= 0.0, vs_anchor
-    assert sum(vs_anchor) / len(vs_anchor) >= 0.0079, vs_anchor
+    assert sum(vs_anchor) / len(vs_anchor) >= 0.0062, vs_anchor
     assert sum(1 for r in regrets if r < 1e-9) >= 5, regrets
-    assert sum(regrets) / len(regrets) <= 0.0175, regrets
+    # mean regret includes the two r5 200k tables: DTU 0.0077 (sub-noise)
+    # and Replica 0.0678 (the documented sub-margin conservatism — the
+    # anchor is the worst draw there and every win is +2-4.8% f3d, inside
+    # the band the ABC tables proved unsafe to chase; BASELINE.md
+    # "fit_draws decided on data")
+    assert sum(regrets) / len(regrets) <= 0.0220, regrets
 
 
 def test_draw_margin_guard_cube_case():
