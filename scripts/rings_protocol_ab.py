@@ -44,6 +44,12 @@ OBJ = os.environ.get("AB_OBJ", "rings")
 OUT = os.environ.get("AB_OUT", "parity_results/rings_protocol_ab.json")
 RESOLUTIONS = [int(r) for r in
                os.environ.get("AB_RES", "128 96").split()]
+# AB_FIT_RES decouples the FIT-stage constants from the grid: for each
+# grid resolution above, additionally fit the SAME point cloud with the
+# constants of these resolutions (fit dist 10/res, voxel 2/res, merge
+# 5/res all scale with the value passed to get_parametric_edge — the
+# grid only sets point density). Empty = fit at the grid res only.
+FIT_RES = [int(r) for r in os.environ.get("AB_FIT_RES", "").split()]
 
 
 def main() -> None:
@@ -77,38 +83,42 @@ def main() -> None:
         for thr in thresholds:
             points, line_dirs = multi[float(thr)]
             ld_colors = (line_dirs + 1.0) / 2.0
-            t0 = time.time()
-            _, edge_dict = get_parametric_edge(
-                points, ld_colors, res, runner.scene.detector,
-                runner.scene.data_dir,
-                visible_checking=ee.get_bool("visible_checking"),
-                seed=42,
-            )
-            with tempfile.TemporaryDirectory() as tmp:
-                os.makedirs(os.path.join(tmp, "results"), exist_ok=True)
-                with open(os.path.join(tmp, "results",
-                                       "parametric_edges.json"), "w") as f:
-                    json.dump(edge_dict, f)
-                gt = score_extraction(tmp, edge_dict, OBJ)
-            row = {
-                "resolution": res, "udf_threshold": thr,
-                "n_points": int(len(points)),
-                "n_lines": len(edge_dict["lines_end_pts"]),
-                "n_curves": len(edge_dict["curves_ctl_pts"]),
-                "f5_gt": gt["fscore_0.005"],
-                "f10_gt": gt["fscore_0.01"],
-                "grid_s": grid_s, "fit_s": round(time.time() - t0, 1),
-            }
-            out["rows"].append(row)
-            print(json.dumps(row), flush=True)
+            for fit_res in ([res] + [fr for fr in FIT_RES if fr != res]):
+                t0 = time.time()
+                _, edge_dict = get_parametric_edge(
+                    points, ld_colors, fit_res, runner.scene.detector,
+                    runner.scene.data_dir,
+                    visible_checking=ee.get_bool("visible_checking"),
+                    seed=42,
+                )
+                with tempfile.TemporaryDirectory() as tmp:
+                    os.makedirs(os.path.join(tmp, "results"), exist_ok=True)
+                    with open(os.path.join(
+                            tmp, "results", "parametric_edges.json"),
+                            "w") as f:
+                        json.dump(edge_dict, f)
+                    gt = score_extraction(tmp, edge_dict, OBJ)
+                row = {
+                    "resolution": res, "fit_resolution": fit_res,
+                    "udf_threshold": thr,
+                    "n_points": int(len(points)),
+                    "n_lines": len(edge_dict["lines_end_pts"]),
+                    "n_curves": len(edge_dict["curves_ctl_pts"]),
+                    "f5_gt": gt["fscore_0.005"],
+                    "f10_gt": gt["fscore_0.01"],
+                    "grid_s": grid_s, "fit_s": round(time.time() - t0, 1),
+                }
+                out["rows"].append(row)
+                print(json.dumps(row), flush=True)
 
     os.makedirs(os.path.dirname(os.path.join(REPO, OUT)), exist_ok=True)
     with open(os.path.join(REPO, OUT), "w") as f:
         json.dump(out, f, indent=1)
     best = {}
     for r in out["rows"]:
-        best.setdefault(r["resolution"], []).append(r["f5_gt"])
-    print(json.dumps({str(k): max(v) for k, v in best.items()}))
+        key = f"grid{r['resolution']}/fit{r['fit_resolution']}"
+        best.setdefault(key, []).append(r["f5_gt"])
+    print(json.dumps({k: max(v) for k, v in best.items()}))
 
 
 if __name__ == "__main__":
