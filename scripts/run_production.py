@@ -34,6 +34,11 @@ OUT = os.path.abspath(
 ITERS = int(os.environ.get("PROD_ITERS", "0"))  # 0 = conf verbatim
 OBJ = os.environ.get("PROD_OBJ", "cube")
 SEED = int(os.environ.get("PROD_SEED", "0"))  # 0 = conf verbatim (42)
+# 0 = conf verbatim. Non-zero overrides edge_extraction.resolution — the
+# curve-scene operating point measured in BASELINE.md "resolution
+# attribution" (res 96 beats the ABC conf's 128 by ~0.08-0.10 F@5mm on
+# curve-only scenes; the conf default stays at the reference's 128).
+EXTRACT_RES = int(os.environ.get("PROD_EXTRACT_RES", "0"))
 
 
 def main() -> None:
@@ -60,6 +65,8 @@ def main() -> None:
         conf["train.end_iter"] = ITERS
     if SEED:  # multi-seed suites only; production runs verbatim (seed 42)
         conf["train.seed"] = SEED
+    if EXTRACT_RES:  # curve-scene operating-point suites only
+        conf["edge_extraction.resolution"] = EXTRACT_RES
     conf_path = os.path.join(OUT, f"{CONF}_standin.conf")
     with open(conf_path, "w") as f:
         f.write(conf.to_hocon())
